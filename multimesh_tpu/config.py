@@ -1,0 +1,87 @@
+"""Central configuration: tolerances, search constants, precision policy.
+
+The reference scatters its numerical magic numbers across the code base
+(acceptance tolerances 1.02/1.025/1.03/1.04/1.05/1.5, candidate counts
+k=20/25/30, Newton iteration limit 50, tol 1e-8*scale; see e.g. reference
+multi_mesh/components/interpolator.py:1204-1233, :1439-1472 and
+multi_mesh/src/trilinearinterpolator.c:93,113,264-282).  Here they live in
+one dataclass so every engine path shares identical semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+R_EARTH_M = 6_371_000.0  # reference multi_mesh/utils.py:534
+
+
+class Precision(enum.Enum):
+    """Numerical policy for the device pipeline.
+
+    F64     -- everything in float64 (exactness validation; fast on CPU,
+               emulated on TPU).
+    MIXED   -- candidate search and Newton bulk iterations in float32 on
+               element-centered coordinates, followed by float64 polish
+               iterations and float64 basis weights.  Default on TPU.
+    F32     -- everything float32 (max-throughput benchmarking).
+    """
+
+    F64 = "f64"
+    MIXED = "mixed"
+    F32 = "f32"
+
+
+@dataclasses.dataclass(frozen=True)
+class LocateConfig:
+    """Point-location behavior knobs (one object instead of scattered args)."""
+
+    # Number of candidate source elements examined per query point.
+    # Reference defaults: 20 (gll_2_gll, interpolator.py:624), 25
+    # (get_element_weights, interpolator.py:1152), 30 (layered_multi_two,
+    # interpolator.py:984).
+    nelem_to_search: int = 20
+
+    # A candidate is accepted when all |ref coords| < accept_tol.
+    # Reference: 1.05 (interpolator.py:1208), 1.04 (:1439), 1.03 (:1288),
+    # 1.025 (trilinearinterpolator.c:93).
+    accept_tol: float = 1.05
+
+    # When snapping to the best candidate, ref coords are clipped to
+    # +/- snap_clip (reference interpolator.py:1219).
+    snap_clip: float = 1.02
+
+    # Best-so-far fallback only taken when its max |ref| is below this
+    # (reference trilinearinterpolator.c:113 uses 1.5).
+    fallback_max: float = 1.5
+
+    # Newton iteration counts.  The reference runs up to 50 double-precision
+    # iterations with early exit (trilinearinterpolator.c:264).  We run a
+    # fixed, branchless schedule: `newton_iters` bulk iterations plus
+    # `polish_iters` at the accumulation dtype.
+    newton_iters: int = 20
+    polish_iters: int = 3
+
+    # Convergence tolerance, relative to element scale
+    # (reference trilinearinterpolator.c:282: tol = 1e-8 * scale).
+    newton_rtol: float = 1e-8
+
+    # Ref-coord magnitude at which Newton iterates are clamped to avoid
+    # overflow for far-away candidates (pure numerical guard; points with
+    # clamped solutions can never pass accept_tol).
+    newton_clamp: float = 8.0
+
+    precision: Precision = Precision.MIXED
+
+
+DEFAULT_LOCATE = LocateConfig()
+
+# Hardcoded interior fallback ref coordinate used by the reference when a
+# point cannot be located at all but a value is still required
+# (reference interpolator.py:1468-1471).
+FALLBACK_REF_COORD = (0.645, -0.5, 0.22)
+
+# Parameter-set presets (reference multi_mesh/utils.py:171-188).
+PARAM_PRESETS = {
+    "TTI": ["VPV", "VPH", "VSV", "VSH", "RHO", "ETA", "QKAPPA", "QMU"],
+    "ISO": ["QKAPPA", "QMU", "RHO", "VP", "VS"],
+}
