@@ -1,0 +1,275 @@
+"""Fused point-location engine: candidates -> Newton -> accept -> weights.
+
+This is the hot path of the whole framework, the TPU-native replacement for
+the reference's three per-point Python/C scan loops:
+
+* ``get_element_weights``'s candidate scan with first-accept / best-so-far /
+  snap-to-nearest semantics (reference
+  multi_mesh/components/interpolator.py:1147-1255),
+* ``_check_if_inside_element``'s AABB-prefiltered scan with nearest-element
+  fallback and the fixed interior ref coordinate
+  (reference interpolator.py:1409-1473),
+* the C kernel's early-exit hull scan
+  (reference multi_mesh/src/trilinearinterpolator.c:61-148).
+
+Design: instead of early-exit per point, a ``lax.scan`` walks the K
+candidates *in distance order* for a whole chunk of points at once,
+carrying "first accepted" and "best so far" state per point -- acceptance
+is a masked update, so the first candidate to satisfy the tolerance wins
+exactly as in the reference, but every lane stays busy.  An optional
+trilinear prefilter ranks candidates with a cheap 8-corner Newton first and
+runs the full-order Newton only on the few best -- same acceptance
+tolerances, a fraction of the gather traffic and FLOPs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LocateConfig, DEFAULT_LOCATE, FALLBACK_REF_COORD
+from ..core import gll, shape
+from .knn import knn as _knn
+
+
+@dataclasses.dataclass
+class LocateResult:
+    """elements [N] (int32, -1 = not found), refs [N, d], weights [N, n],
+    found [N] bool (True also for snapped / fallback assignments)."""
+
+    elements: np.ndarray
+    refs: np.ndarray
+    weights: np.ndarray
+    found: np.ndarray
+
+
+def _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
+                     use_aabb: bool):
+    """Scan K candidates in distance order, carrying per-point state.
+
+    points [C, d]; cand [C, K] int; elem_nodes [E, n, d];
+    aabb (lo [E, d], hi [E, d]) or None.
+    Returns per-point dict of arrays (see body).
+    """
+    C, d = points.shape
+    K = cand.shape[1]
+    ref_dt = elem_nodes.dtype
+
+    def body(carry, k):
+        (acc_found, acc_ref, acc_elem,
+         best_max, best_ref, best_elem,
+         in_found, in_ref, in_elem, in_conv,
+         near_d, near_ref, near_elem, near_conv) = carry
+
+        ids = cand[:, k]
+        nodes = elem_nodes[ids]  # [C, n, d] gather
+        ref, conv = shape.inverse_map(nodes, points, order=order, cfg=cfg,
+                                      dtype=dtype)
+        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        valid = conv
+        if use_aabb:
+            lo, hi = aabb
+            inside = jnp.all(
+                (points >= lo[ids]) & (points <= hi[ids]), axis=-1
+            )
+        else:
+            inside = jnp.ones((C,), bool)
+
+        # -- first accepted candidate in distance order --------------------
+        accepted = valid & inside & (maxabs < cfg.accept_tol)
+        newly = accepted & ~acc_found
+        acc_ref = jnp.where(newly[:, None], ref, acc_ref)
+        acc_elem = jnp.where(newly, ids, acc_elem)
+        acc_found = acc_found | accepted
+
+        # -- best-so-far by max |ref| among converged candidates ----------
+        score = jnp.where(valid, maxabs, jnp.inf)
+        better = score < best_max
+        best_max = jnp.where(better, score, best_max)
+        best_ref = jnp.where(better[:, None], ref, best_ref)
+        best_elem = jnp.where(better, ids, best_elem)
+
+        # -- first candidate whose AABB contains the point ----------------
+        newly_in = inside & ~in_found
+        in_ref = jnp.where(newly_in[:, None], ref, in_ref)
+        in_elem = jnp.where(newly_in, ids, in_elem)
+        in_conv = jnp.where(newly_in, conv, in_conv)
+        in_found = in_found | inside
+
+        # -- nearest candidate by distance to element center --------------
+        if use_aabb:
+            lo, hi = aabb
+            center = 0.5 * (lo[ids] + hi[ids])
+            dist = jnp.sum((points - center) ** 2, axis=-1)
+            nearer = dist < near_d
+            near_d = jnp.where(nearer, dist, near_d)
+            near_ref = jnp.where(nearer[:, None], ref, near_ref)
+            near_elem = jnp.where(nearer, ids, near_elem)
+            near_conv = jnp.where(nearer, conv, near_conv)
+
+        return (acc_found, acc_ref, acc_elem,
+                best_max, best_ref, best_elem,
+                in_found, in_ref, in_elem, in_conv,
+                near_d, near_ref, near_elem, near_conv), None
+
+    zeros_ref = jnp.zeros((C, d), ref_dt)
+    first = cand[:, 0]
+    init = (
+        jnp.zeros((C,), bool), zeros_ref, first,
+        jnp.full((C,), jnp.inf, ref_dt), zeros_ref, first,
+        jnp.zeros((C,), bool), zeros_ref, first, jnp.zeros((C,), bool),
+        jnp.full((C,), jnp.inf, ref_dt), zeros_ref, first,
+        jnp.zeros((C,), bool),
+    )
+    carry, _ = jax.lax.scan(body, init, jnp.arange(K))
+    keys = ("acc_found", "acc_ref", "acc_elem", "best_max", "best_ref",
+            "best_elem", "in_found", "in_ref", "in_elem", "in_conv",
+            "near_d", "near_ref", "near_elem", "near_conv")
+    return dict(zip(keys, carry))
+
+
+def _trilinear_rank(points, cand, elem_corners, cfg, dtype, m: int):
+    """Rank candidates by 8-corner (trilinear) Newton max |ref|; return the
+    best ``m`` candidate columns per point, re-sorted into distance order so
+    downstream first-accept semantics are preserved."""
+    K = cand.shape[1]
+
+    def body(_, k):
+        ids = cand[:, k]
+        corners = elem_corners[ids]
+        ref, conv = shape.inverse_map(corners, points, order=1, cfg=cfg,
+                                      dtype=dtype)
+        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        return None, jnp.where(conv, maxabs, jnp.inf)
+
+    _, scores = jax.lax.scan(body, None, jnp.arange(K))  # [K, C]
+    scores = scores.T  # [C, K]
+    _, pos = jax.lax.top_k(-scores, m)  # positions of m best
+    pos = jnp.sort(pos, axis=1)  # restore distance order
+    return jnp.take_along_axis(cand, pos, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "cfg", "dtype", "use_aabb", "fallback",
+                     "prefilter_m"),
+)
+def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
+                  cfg, dtype, use_aabb, fallback, prefilter_m):
+    if prefilter_m and prefilter_m < cand.shape[1] and order > 1:
+        cand = _trilinear_rank(points, cand, elem_corners, cfg, dtype,
+                               prefilter_m)
+    st = _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
+                          use_aabb)
+    C, d = points.shape
+    ref_dt = elem_nodes.dtype
+
+    acc = st["acc_found"]
+    if fallback == "sentinel":
+        # Reference get_element_weights with snap_to_nearest=False
+        # (interpolator.py:1231-1233): -1 and zero weights.
+        elements = jnp.where(acc, st["acc_elem"], -1)
+        refs = jnp.where(acc[:, None], st["acc_ref"], jnp.zeros((C, d), ref_dt))
+        found = acc
+        weights = gll.tensor_basis(order, refs)
+        weights = jnp.where(acc[:, None], weights, 0.0)
+    elif fallback == "snap":
+        # snap_to_nearest=True (interpolator.py:1217-1230): clip the best
+        # candidate's ref coords to +/- snap_clip.
+        snapped = jnp.clip(st["best_ref"], -cfg.snap_clip, cfg.snap_clip)
+        elements = jnp.where(acc, st["acc_elem"], st["best_elem"])
+        refs = jnp.where(acc[:, None], st["acc_ref"], snapped)
+        found = jnp.ones((C,), bool)
+        weights = gll.tensor_basis(order, refs)
+    elif fallback == "fixed_ref":
+        # Reference _check_if_inside_element (interpolator.py:1448-1473):
+        # fallback element = first candidate whose AABB contains the point,
+        # else nearest candidate by center distance; if its Newton failed or
+        # lies outside tolerance, use the fixed interior ref coordinate.
+        fb_elem = jnp.where(st["in_found"], st["in_elem"], st["near_elem"])
+        fb_ref = jnp.where(st["in_found"][:, None], st["in_ref"],
+                           st["near_ref"])
+        fb_conv = jnp.where(st["in_found"], st["in_conv"], st["near_conv"])
+        fb_bad = (~fb_conv) | (
+            jnp.max(jnp.abs(fb_ref), axis=-1) >= cfg.accept_tol
+        )
+        fixed = jnp.asarray(FALLBACK_REF_COORD[:d], ref_dt)
+        fb_ref = jnp.where(fb_bad[:, None], fixed[None, :], fb_ref)
+        elements = jnp.where(acc, st["acc_elem"], fb_elem)
+        refs = jnp.where(acc[:, None], st["acc_ref"], fb_ref)
+        found = jnp.ones((C,), bool)
+        weights = gll.tensor_basis(order, refs)
+    else:
+        raise ValueError(f"unknown fallback mode {fallback!r}")
+    return elements.astype(jnp.int32), refs, weights, found
+
+
+def locate(
+    points,
+    elem_nodes,
+    order: int,
+    cfg: LocateConfig = DEFAULT_LOCATE,
+    *,
+    fallback: str = "sentinel",
+    use_aabb: bool = False,
+    centroids=None,
+    candidates=None,
+    prefilter_m: int = 0,
+    chunk: int = 65_536,
+    dtype=None,
+) -> LocateResult:
+    """Locate each query point in the source mesh and compute GLL weights.
+
+    points [N, d]; elem_nodes [E, (p+1)^d, d] device array (canonical
+    lattice order).  ``fallback`` in {"sentinel", "snap", "fixed_ref"}
+    selects which reference failure semantics apply (see module docstring).
+    ``prefilter_m`` > 0 enables the trilinear candidate prefilter keeping
+    the m best candidates.  ``candidates`` [N, K] may be passed to skip the
+    internal kNN (e.g. layered paths with per-layer trees).
+    """
+    points = jnp.asarray(points)
+    elem_nodes = jnp.asarray(elem_nodes)
+    N, d = points.shape
+    if dtype is None:
+        from ..config import Precision
+
+        dtype = (
+            jnp.float32
+            if cfg.precision in (Precision.MIXED, Precision.F32)
+            else elem_nodes.dtype
+        )
+
+    if candidates is None:
+        if centroids is None:
+            centroids = jnp.mean(elem_nodes, axis=1)
+        k = min(cfg.nelem_to_search, elem_nodes.shape[0])
+        _, candidates = _knn(centroids, points, k)
+    candidates = jnp.asarray(candidates)
+
+    corners = elem_nodes[:, np.asarray(gll.corner_indices(order, d))]
+    lo = jnp.min(elem_nodes, axis=1)
+    hi = jnp.max(elem_nodes, axis=1)
+
+    outs = []
+    for start in range(0, N, chunk):
+        sl = slice(start, min(start + chunk, N))
+        outs.append(
+            _locate_chunk(
+                points[sl], candidates[sl], elem_nodes, corners, (lo, hi),
+                order, cfg, dtype, use_aabb, fallback, prefilter_m,
+            )
+        )
+    if len(outs) == 1:
+        elements, refs, weights, found = outs[0]
+    else:
+        elements = jnp.concatenate([o[0] for o in outs])
+        refs = jnp.concatenate([o[1] for o in outs])
+        weights = jnp.concatenate([o[2] for o in outs])
+        found = jnp.concatenate([o[3] for o in outs])
+    return LocateResult(
+        np.asarray(elements), np.asarray(refs), np.asarray(weights),
+        np.asarray(found),
+    )

@@ -1,0 +1,56 @@
+"""kNN kernel vs scipy.spatial.cKDTree (SURVEY.md section 4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import cKDTree
+
+from multimesh_tpu.search import knn
+
+
+@pytest.mark.parametrize(
+    "n_src,n_query,k,src_chunk",
+    [
+        (1000, 500, 20, 8192),     # single source chunk
+        (5000, 300, 25, 512),      # streaming merge across source chunks
+        (300, 100, 20, 128),       # k comparable to chunk
+        (10, 50, 20, 128),         # fewer sources than k
+    ],
+)
+def test_knn_matches_ckdtree(rng, n_src, n_query, k, src_chunk):
+    src = rng.uniform(-1, 1, size=(n_src, 3))
+    q = rng.uniform(-1.1, 1.1, size=(n_query, 3))
+    d2, idx = knn(src, q, k, source_chunk=src_chunk, dtype=jnp.float64)
+    d2 = np.asarray(d2)
+    idx = np.asarray(idx)
+
+    tree = cKDTree(src)
+    k_eff = min(k, n_src)
+    dist, ref_idx = tree.query(q, k=k_eff)
+    np.testing.assert_allclose(
+        np.sqrt(np.maximum(d2[:, :k_eff], 0)), dist, atol=1e-9
+    )
+    # indices may differ under exact distance ties; compare distances of
+    # the returned indices instead of the indices themselves
+    d_mine = np.linalg.norm(src[idx[:, :k_eff]] - q[:, None], axis=-1)
+    np.testing.assert_allclose(d_mine, dist, atol=1e-9)
+
+
+def test_knn_earth_scale_f32_ranking(rng):
+    """f32 ranking at earth-scale coordinates: centering must keep the
+    candidate sets usable (top-k sets agree with f64 tree on the first
+    few neighbors up to distance ties)."""
+    src = rng.uniform(-6.4e6, 6.4e6, size=(4000, 3))
+    q = src[:200] + rng.normal(scale=1e3, size=(200, 3))
+    d2, idx = knn(src, q, 10)
+    tree = cKDTree(src)
+    dist, ref_idx = tree.query(q, k=10)
+    d_mine = np.linalg.norm(src[np.asarray(idx)] - q[:, None], axis=-1)
+    np.testing.assert_allclose(d_mine, dist, rtol=1e-5, atol=1.0)
+
+
+def test_knn_query_chunking(rng):
+    src = rng.uniform(0, 1, size=(512, 3))
+    q = rng.uniform(0, 1, size=(1000, 3))
+    d2a, idxa = knn(src, q, 5, query_chunk=333)
+    d2b, idxb = knn(src, q, 5)
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), rtol=1e-6)

@@ -1,0 +1,143 @@
+"""Fused locate engine vs the NumPy/SciPy oracle and analytic truths."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multimesh_tpu import testing as mmt
+from multimesh_tpu.config import LocateConfig
+from multimesh_tpu.search import locate
+
+from oracle import interpolate_np
+
+
+def _interp(res, field):
+    vals = np.einsum("pn,pn->p", res.weights, field[res.elements])
+    vals[res.elements < 0] = 0.0
+    return vals
+
+
+@pytest.mark.parametrize("order,warp", [(1, 0.0), (2, 0.1), (4, 0.15)])
+def test_locate_box_vs_oracle(order, warp, rng):
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=order, warp=warp)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(500, 3))
+
+    res = locate(pts, mesh.points, order=order, fallback="sentinel")
+    assert res.found.all(), "interior points must all be found"
+    mine = _interp(res, field)
+    oracle_vals, oracle_elems = interpolate_np(pts, mesh.points, field, order)
+    assert (oracle_elems >= 0).all()
+    np.testing.assert_allclose(mine, oracle_vals, rtol=1e-9, atol=1e-12)
+
+
+def test_locate_shell_earth_scale(rng):
+    """Curved earth-scale shell, mixed precision: values must match the
+    float64 oracle to < 1e-6 relative (BASELINE.md accuracy target)."""
+    mesh = mmt.shell_mesh(n_lat=4, n_lon=5, n_rad=3, order=4)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    # sample points strictly inside the shell chunk
+    r = rng.uniform(3.6e6, 6.2e6, size=400)
+    th = rng.uniform(0.55, 1.15, size=400)
+    ph = rng.uniform(0.35, 1.35, size=400)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+
+    res = locate(pts, mesh.points, order=4, fallback="sentinel")
+    assert res.found.all()
+    mine = _interp(res, field)
+    oracle_vals, _ = interpolate_np(pts, mesh.points, field, order=4)
+    rel = np.max(np.abs(mine - oracle_vals) / np.abs(oracle_vals))
+    assert rel < 1e-6, f"max rel err {rel:.3e}"
+
+
+def test_locate_prefilter_matches_full_scan(rng):
+    """Trilinear candidate prefilter must not change results on curved
+    elements (same acceptance tolerances, fewer full Newtons)."""
+    mesh = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=2, order=4)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    r = rng.uniform(3.6e6, 6.2e6, size=300)
+    th = rng.uniform(0.55, 1.15, size=300)
+    ph = rng.uniform(0.35, 1.35, size=300)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+
+    full = locate(pts, mesh.points, order=4, fallback="sentinel")
+    fast = locate(pts, mesh.points, order=4, fallback="sentinel",
+                  prefilter_m=4)
+    assert fast.found.all()
+    np.testing.assert_allclose(
+        _interp(fast, field), _interp(full, field), rtol=1e-8
+    )
+
+
+def test_locate_exterior_sentinel_and_snap(rng):
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=2)
+    field = mmt.element_nodal_field(mesh, "linear")
+    outside = rng.uniform(1.5, 2.0, size=(50, 3))  # well outside [0,1]^3
+
+    res = locate(outside, mesh.points, order=2, fallback="sentinel")
+    assert (~res.found).all()
+    assert (res.elements == -1).all()
+    assert np.all(res.weights == 0.0)
+
+    snap = locate(outside, mesh.points, order=2, fallback="snap")
+    assert snap.found.all()
+    assert (snap.elements >= 0).all()
+    # snapped refs are clipped to +/- snap_clip
+    assert np.max(np.abs(snap.refs)) <= 1.02 + 1e-12
+    # snapped values stay within a sane range of the field
+    vals = _interp(snap, field)
+    assert np.all(vals > 0.5) and np.all(vals < 5.0)
+
+
+def test_locate_fixed_ref_always_assigns(rng):
+    """fixed_ref mode (reference _check_if_inside_element) must assign an
+    element to every point, interior or not."""
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=2)
+    pts = np.concatenate(
+        [rng.uniform(0.1, 0.9, size=(30, 3)),
+         rng.uniform(1.2, 1.5, size=(10, 3))]
+    )
+    cfg = LocateConfig(accept_tol=1.04)
+    res = locate(pts, mesh.points, order=2, cfg=cfg, fallback="fixed_ref",
+                 use_aabb=True)
+    assert res.found.all()
+    assert (res.elements >= 0).all()
+    # interior points are genuinely inside
+    assert np.max(np.abs(res.refs[:30])) < 1.0 + 1e-9
+    # exterior points carry the fixed interior fallback ref coord
+    np.testing.assert_allclose(
+        res.refs[30:], np.tile([0.645, -0.5, 0.22], (10, 1)), atol=1e-12
+    )
+
+
+def test_locate_on_shared_face_consistent(rng):
+    """Points exactly on element faces: either neighbor must give the same
+    interpolated value (continuity of the nodal field)."""
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=2)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = np.stack(
+        [np.full(20, 0.5), rng.uniform(0.1, 0.9, 20),
+         rng.uniform(0.1, 0.9, 20)], -1)
+    res = locate(pts, mesh.points, order=2)
+    assert res.found.all()
+    mine = _interp(res, field)
+    oracle_vals, _ = interpolate_np(pts, mesh.points, field, order=2)
+    np.testing.assert_allclose(mine, oracle_vals, rtol=1e-9)
+
+
+def test_locate_2d(rng):
+    mesh = mmt.box_mesh(shape=(3, 3), order=4, warp=0.05)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(200, 2))
+    res = locate(pts, mesh.points, order=4)
+    assert res.found.all()
+    mine = _interp(res, field)
+    oracle_vals, _ = interpolate_np(pts, mesh.points, field, order=4)
+    np.testing.assert_allclose(mine, oracle_vals, rtol=1e-9)
+    truth = mmt.smooth_field(pts)
+    # order-4 interpolation of a smooth field on a warped 3x3 mesh:
+    # discretization-level agreement only
+    np.testing.assert_allclose(mine, truth, atol=5e-3)
