@@ -103,7 +103,12 @@ def box_mesh(
     lat = gll.lattice_coords(order, dim)  # [n, dim] in [-1,1]
     n = lat.shape[0]
     corners = vertices[conn]  # [E, 2^dim, dim]
-    tri_basis = np.asarray(gll.tensor_basis(1, lat))  # [n, 2^dim]
+    # trilinear basis at the lattice, pure numpy (fixtures must not touch
+    # the device): prod_d (1 + ref_d * corner_ref_d) / 2^dim
+    corner_ref = gll.lattice_coords(1, dim)  # [2^dim, dim]
+    tri_basis = np.prod(
+        1.0 + lat[:, None, :] * corner_ref[None, :, :], axis=-1
+    ) / (2.0**dim)  # [n, 2^dim]
     points = np.einsum("nc,ecd->end", tri_basis, corners)
 
     if warp > 0.0:
@@ -214,3 +219,52 @@ def smooth_field(points: np.ndarray, kind: str = "smooth",
 def element_nodal_field(mesh: StructuredMesh, kind: str = "smooth"):
     """Sample a smooth_field at every GLL node: [nelem, n_gll]."""
     return smooth_field(mesh.points, kind=kind)
+
+
+def write_salvus_fixture(
+    filename,
+    mesh: StructuredMesh,
+    parameters=("VP", "VS", "RHO"),
+    fluid: np.ndarray | None = None,
+    global_strings: dict | None = None,
+    field_kind: str = "smooth",
+):
+    """Write a StructuredMesh as a Salvus-format HDF5 file with analytic
+    nodal fields (each parameter gets a scaled copy of the same field so
+    transfers of multiple parameters are distinguishable)."""
+    from .io import salvus as sio
+
+    base = element_nodal_field(mesh, field_kind)
+    nodal = {
+        p: base * (1.0 + 0.1 * i) for i, p in enumerate(parameters)
+    }
+    r = np.linalg.norm(mesh.points, axis=-1)
+    nodal["z_node_1D"] = r / 6.371e6  # spherical 1D radius fraction
+    if fluid is None:
+        fluid = np.zeros(mesh.nelem)
+    elemental = {
+        "fluid": np.asarray(fluid, np.float64),
+        "layer": mesh.layer_id.astype(np.float64),
+    }
+    sio.write_salvus_mesh(
+        filename, mesh.points, nodal, elemental, global_strings or {}
+    )
+    return nodal
+
+
+def write_exodus_fixture(
+    filename, mesh: StructuredMesh, parameters=("VP", "VS", "RHO"),
+    field_kind: str = "smooth",
+):
+    """Write the corner-vertex skeleton of a StructuredMesh as an Exodus II
+    file with analytic nodal fields."""
+    from .io import exodus as eio
+
+    base = smooth_field(mesh.vertices, field_kind)
+    nodal = {p: base * (1.0 + 0.1 * i) for i, p in enumerate(parameters)}
+    elemental = {"something_elemental": np.arange(mesh.nelem, dtype=float)}
+    eio.write_exodus(
+        filename, mesh.vertices, mesh.connectivity, nodal, elemental,
+        canonical_order=True,
+    )
+    return nodal
