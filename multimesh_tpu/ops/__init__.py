@@ -1,0 +1,9 @@
+from .transfer import TransferOperator  # noqa: F401
+from .dedup import unique_points, unique_points_per_layer  # noqa: F401
+from .layers import (  # noqa: F401
+    resolve_layers,
+    layer_masks,
+    mesh_layer_masks,
+)
+from .spherical import map_to_sphere, map_to_ellipse  # noqa: F401
+from .fluid import repair_fluid_solid  # noqa: F401

@@ -1,0 +1,154 @@
+"""Tests for the ops layer: transfer operator, dedup, layers, sphere
+mapping, fluid repair."""
+import numpy as np
+import pytest
+
+from multimesh_tpu import testing as mmt
+from multimesh_tpu.ops import (
+    TransferOperator, unique_points, unique_points_per_layer,
+    resolve_layers, layer_masks, map_to_sphere, repair_fluid_solid,
+)
+
+
+def test_unique_points_contract(rng):
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=2)
+    uniq, recon = unique_points(mesh.points)
+    flat = mesh.points.reshape(-1, 3)
+    np.testing.assert_allclose(uniq[recon], flat)
+    # shared faces mean real dedup happened
+    assert len(uniq) < len(flat)
+    # matches numpy's reference result
+    uref, rref = np.unique(flat, return_inverse=True, axis=0)
+    assert len(uniq) == len(uref)
+    np.testing.assert_allclose(uniq[recon], uref[rref.ravel()])
+
+
+def test_transfer_operator_roundtrip(tmp_path, rng):
+    src = mmt.box_mesh(shape=(3, 3, 3), order=4, warp=0.1)
+    field = mmt.element_nodal_field(src, "smooth")
+    pts = rng.uniform(0.1, 0.9, size=(300, 3))
+
+    op = TransferOperator.build(src.points, pts, order=4)
+    assert op.num_missing == 0
+    vals = op.apply(field)
+
+    # multi-field stack
+    stack = np.stack([field, 2 * field])
+    out = op.apply(stack)
+    np.testing.assert_allclose(out[:, 0], vals)
+    np.testing.assert_allclose(out[:, 1], 2 * vals)
+
+    # save / load
+    op.save(tmp_path / "cache")
+    op2 = TransferOperator.load(tmp_path / "cache")
+    assert op2.order == 4
+    np.testing.assert_allclose(op2.apply(field), vals)
+    assert TransferOperator.exists(tmp_path / "cache")
+    assert not TransferOperator.exists(tmp_path / "nope")
+
+
+def test_transfer_operator_nan_cache_rejected(tmp_path):
+    src = mmt.box_mesh(shape=(2, 2, 2), order=1)
+    pts = np.full((5, 3), 0.5)
+    op = TransferOperator.build(src.points, pts, order=1)
+    op.weights = op.weights.copy()
+    op.weights[0, 0] = np.nan
+    op.save(tmp_path / "bad")
+    with pytest.raises(ValueError, match="NaN"):
+        TransferOperator.load(tmp_path / "bad")
+
+
+def test_transfer_operator_dedup_recon(rng):
+    """Building on unique points + recon reproduces the full-point result
+    (the reference's unique-point pipeline, interpolator.py:744)."""
+    src = mmt.box_mesh(shape=(3, 3, 3), order=2, warp=0.05)
+    tgt = mmt.box_mesh(shape=(4, 4, 4), order=2)
+    field = mmt.element_nodal_field(src, "smooth")
+
+    flat = tgt.points.reshape(-1, 3)
+    uniq, recon = unique_points(tgt.points)
+
+    full_op = TransferOperator.build(src.points, flat, order=2,
+                                     fallback="snap")
+    uniq_op = TransferOperator.build(src.points, uniq, order=2,
+                                     fallback="snap", recon=recon)
+    np.testing.assert_allclose(
+        uniq_op.apply(field), full_op.apply(field), rtol=1e-10
+    )
+
+
+def test_resolve_layers_semantics():
+    # descending ids: 5 4 = crust (moho_idx=2), 3 2 = mantle, 1 = fluid core
+    layer_field = np.repeat([5, 4, 3, 2, 1], 4)
+    fluid = (layer_field == 1).astype(float)
+
+    ids, mask = resolve_layers(layer_field, "all")
+    np.testing.assert_array_equal(ids, [5, 4, 3, 2, 1])
+    assert not mask
+
+    ids, _ = resolve_layers(layer_field, "crust", moho_idx=2, fluid_field=fluid)
+    np.testing.assert_array_equal(ids, [5, 4])
+    ids, _ = resolve_layers(layer_field, "mantle", moho_idx=2,
+                            fluid_field=fluid)
+    np.testing.assert_array_equal(ids, [3, 2])
+    ids, _ = resolve_layers(layer_field, "core", fluid_field=fluid)
+    np.testing.assert_array_equal(ids, [1])
+    ids, _ = resolve_layers(layer_field, "nocore", fluid_field=fluid)
+    np.testing.assert_array_equal(ids, [5, 4, 3, 2])
+
+    ids, _ = resolve_layers(layer_field, [3, 2])
+    np.testing.assert_array_equal(ids, [3, 2])
+    with pytest.raises(ValueError):
+        resolve_layers(layer_field, [9])
+    with pytest.raises(ValueError):
+        resolve_layers(layer_field, "bogus")
+
+    masks = layer_masks(layer_field, np.asarray([5, 1]))
+    assert masks["5"].sum() == 4 and masks["1"].sum() == 4
+
+
+def test_unique_points_per_layer():
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2, n_layers=2)
+    masks = layer_masks(mesh.layer_id, np.asarray([2, 1]))
+    per = unique_points_per_layer(mesh.points, masks)
+    for layer, m in masks.items():
+        uniq, recon = per[layer]
+        np.testing.assert_allclose(
+            uniq[recon], mesh.points[m].reshape(-1, 3)
+        )
+
+
+def test_map_to_sphere():
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+
+    class M:
+        points = mesh.points.copy() * 1.01  # slightly inflated "ellipse"
+        element_nodal_fields = {
+            "z_node_1D": np.linalg.norm(mesh.points, axis=-1) / 6.371e6
+        }
+
+    m = M()
+    map_to_sphere(m)
+    r_after = np.linalg.norm(m.points, axis=-1)
+    np.testing.assert_allclose(
+        r_after, np.linalg.norm(mesh.points, axis=-1), rtol=1e-12
+    )
+
+
+def test_repair_fluid_solid():
+    nelem, nparams, ngll = 6, 3, 8
+    params = ["VP", "VS", "RHO"]
+    old = np.full((nelem, nparams, ngll), 7.0)
+    new = np.full((nelem, nparams, ngll), 1.0)
+    solid = np.array([True, True, True, True, False, False])
+    # solid element 1 received fake-fluid zero VS
+    new[1, 1, 3] = 0.0
+    # fluid element 4 received solid values (anything non-original)
+    out = repair_fluid_solid(new, old, solid, params)
+    np.testing.assert_allclose(out[4], old[4])  # fluid keeps old
+    np.testing.assert_allclose(out[5], old[5])
+    np.testing.assert_allclose(out[1], old[1])  # fake-fluid solid reverted
+    np.testing.assert_allclose(out[0], new[0])  # untouched solid keeps new
+    # VSV naming also recognized
+    out2 = repair_fluid_solid(new, old, solid, ["VPV", "VSV", "RHO"])
+    np.testing.assert_allclose(out2[1], old[1])
