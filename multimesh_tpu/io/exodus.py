@@ -184,13 +184,17 @@ class Exodus:
         """
         return self.points[self.connectivity].mean(axis=1)
 
-    def canonical_corner_nodes(self) -> np.ndarray:
-        """Element corner coords in canonical lattice order:
-        [nelem, 2^dim, dim] -- directly usable by core.shape Newton."""
+    def canonical_connectivity(self) -> np.ndarray:
+        """Connectivity re-ordered to canonical lattice corner order."""
         perm = (
             HEX8_TO_CANONICAL if self.ndim == 3 else QUAD4_TO_CANONICAL
         )
-        return self.points[self.connectivity[:, perm]]
+        return self.connectivity[:, perm]
+
+    def canonical_corner_nodes(self) -> np.ndarray:
+        """Element corner coords in canonical lattice order:
+        [nelem, 2^dim, dim] -- directly usable by core.shape Newton."""
+        return self.points[self.canonical_connectivity()]
 
 
 def write_exodus(

@@ -184,6 +184,18 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
         refs = jnp.where(acc[:, None], st["acc_ref"], snapped)
         found = jnp.ones((C,), bool)
         weights = gll.tensor_basis(order, refs)
+    elif fallback == "best":
+        # C trilinear kernel semantics (trilinearinterpolator.c:113-137):
+        # take the best-so-far candidate *unclipped* if its max |ref| is
+        # below fallback_max, else report failure.
+        ok = st["best_max"] < cfg.fallback_max
+        elements = jnp.where(acc, st["acc_elem"],
+                             jnp.where(ok, st["best_elem"], -1))
+        refs = jnp.where(acc[:, None], st["acc_ref"],
+                         jnp.where(ok[:, None], st["best_ref"], 0.0))
+        found = acc | ok
+        weights = gll.tensor_basis(order, refs)
+        weights = jnp.where(found[:, None], weights, 0.0)
     elif fallback == "fixed_ref":
         # Reference _check_if_inside_element (interpolator.py:1448-1473):
         # fallback element = first candidate whose AABB contains the point,
@@ -204,7 +216,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
         weights = gll.tensor_basis(order, refs)
     else:
         raise ValueError(f"unknown fallback mode {fallback!r}")
-    return elements.astype(jnp.int32), refs, weights, found
+    return elements.astype(jnp.int32), refs, weights, found, acc
 
 
 def locate(
@@ -253,23 +265,62 @@ def locate(
     lo = jnp.min(elem_nodes, axis=1)
     hi = jnp.max(elem_nodes, axis=1)
 
+    def run_chunk(pts_c, cand_c, pm):
+        # Pad every chunk to a power-of-two row count so XLA compiles one
+        # kernel per bucket instead of one per distinct batch size.
+        n = pts_c.shape[0]
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            reps = bucket - n
+            pts_c = jnp.concatenate(
+                [pts_c, jnp.repeat(pts_c[:1], reps, axis=0)]
+            )
+            cand_c = jnp.concatenate(
+                [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
+            )
+        out = _locate_chunk(
+            pts_c, cand_c, elem_nodes, corners, (lo, hi), order, cfg,
+            dtype, use_aabb, fallback, pm,
+        )
+        return tuple(o[:n] for o in out)
+
     outs = []
     for start in range(0, N, chunk):
         sl = slice(start, min(start + chunk, N))
-        outs.append(
-            _locate_chunk(
-                points[sl], candidates[sl], elem_nodes, corners, (lo, hi),
-                order, cfg, dtype, use_aabb, fallback, prefilter_m,
-            )
-        )
+        outs.append(run_chunk(points[sl], candidates[sl], prefilter_m))
     if len(outs) == 1:
-        elements, refs, weights, found = outs[0]
+        elements, refs, weights, found, accepted = outs[0]
     else:
         elements = jnp.concatenate([o[0] for o in outs])
         refs = jnp.concatenate([o[1] for o in outs])
         weights = jnp.concatenate([o[2] for o in outs])
         found = jnp.concatenate([o[3] for o in outs])
-    return LocateResult(
-        np.asarray(elements), np.asarray(refs), np.asarray(weights),
-        np.asarray(found),
-    )
+        accepted = jnp.concatenate([o[4] for o in outs])
+
+    elements = np.asarray(elements)
+    refs = np.asarray(refs)
+    weights = np.asarray(weights)
+    found = np.asarray(found)
+
+    if prefilter_m and prefilter_m < candidates.shape[1]:
+        # Rescue pass: the trilinear prefilter can mis-rank candidates on
+        # strongly curved elements (the linear geometry is a poor proxy
+        # there), so any point whose prefiltered candidates were never
+        # *accepted* is retried with the full candidate scan.  The subset
+        # is typically tiny, so this keeps the fast path fast and the
+        # result as reliable as the exhaustive scan.
+        retry = np.where(~np.asarray(accepted))[0]
+        if retry.size:
+            r_el, r_ref, r_w, r_f, _ = run_chunk(
+                points[retry], candidates[retry], 0
+            )
+            elements = elements.copy()
+            refs = refs.copy()
+            weights = weights.copy()
+            found = found.copy()
+            elements[retry] = np.asarray(r_el)
+            refs[retry] = np.asarray(r_ref)
+            weights[retry] = np.asarray(r_w)
+            found[retry] = np.asarray(r_f)
+
+    return LocateResult(elements, refs, weights, found)

@@ -1,0 +1,270 @@
+"""Geometry and misc utilities (host side).
+
+Covers the reference's utils surface (reference multi_mesh/utils.py):
+coordinate transforms, rotation matrices, mesh rotation, great-circle
+sampling, parameter presets, and regular-grid dataset containers.  Heavy
+external deps the reference leans on (geographiclib, xarray) are absent in
+this environment, so the geodesic sampler falls back to an exact spherical
+great circle and the dataset container is a small self-contained class
+with optional xarray conversion.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import List, Union
+
+import numpy as np
+
+from .config import R_EARTH_M, PARAM_PRESETS
+
+
+# -- parameter presets ----------------------------------------------------
+def pick_parameters(parameters) -> List[str]:
+    """Resolve "TTI"/"ISO" presets to parameter lists
+    (reference utils.py:171-188)."""
+    if isinstance(parameters, str) and parameters in PARAM_PRESETS:
+        return list(PARAM_PRESETS[parameters])
+    return list(parameters) if not isinstance(parameters, str) else [parameters]
+
+
+# -- angle helpers --------------------------------------------------------
+def lat2colat(lat):
+    return 90.0 - np.asarray(lat)
+
+
+def colat2lat(colat):
+    return 90.0 - np.asarray(colat)
+
+
+# -- spherical <-> cartesian ---------------------------------------------
+def sph2cart(col, lon, rad):
+    """Colatitude/longitude [radians] + radius -> x, y, z."""
+    col, lon, rad = np.asarray(col), np.asarray(lon), np.asarray(rad)
+    if (col < 0).any() or (col > np.pi).any():
+        raise ValueError("Colatitude must be in range [0, pi].")
+    sin_c = np.sin(col)
+    return rad * sin_c * np.cos(lon), rad * sin_c * np.sin(lon), rad * np.cos(col)
+
+
+def cart2sph(x, y, z):
+    """x, y, z -> colatitude, longitude [radians], radius (origin-safe)."""
+    x, y, z = np.asarray(x), np.asarray(y), np.asarray(z)
+    r = np.sqrt(x * x + y * y + z * z)
+    with np.errstate(invalid="ignore"):
+        c = np.nan_to_num(np.divide(z, r))
+    return np.arccos(c), np.arctan2(y, x), r
+
+
+def latlondepth_to_xyz(latlondepth: np.ndarray) -> np.ndarray:
+    """[N, 3] (lat deg, lon deg, depth m) -> [N, 3] cartesian meters
+    (geocentric sphere of radius R_EARTH, reference utils.py:526-542)."""
+    latlondepth = np.asarray(latlondepth, dtype=np.float64)
+    r = R_EARTH_M - latlondepth[:, 2]
+    colat = np.deg2rad(lat2colat(latlondepth[:, 0]))
+    lon = np.deg2rad(latlondepth[:, 1])
+    x, y, z = sph2cart(colat, lon, r)
+    return np.stack([x, y, z], axis=-1)
+
+
+# -- rotations ------------------------------------------------------------
+def get_rot_matrix(angle: float, x: float, y: float, z: float) -> np.ndarray:
+    """Right-hand-rule rotation matrix about axis (x, y, z) by ``angle``
+    radians (Rodrigues form)."""
+    axis = np.asarray([x, y, z], dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    kx, ky, kz = axis
+    K = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+    return (
+        np.eye(3) * np.cos(angle)
+        + np.sin(angle) * K
+        + (1 - np.cos(angle)) * np.outer(axis, axis)
+    )
+
+
+def rotate(x, y, z, matrix):
+    return matrix @ np.array([np.asarray(x), np.asarray(y), np.asarray(z)])
+
+
+def rotate_mesh(mesh, event_loc, backwards: bool = False):
+    """Rotate an Exodus mesh's coordinates so ``event_loc`` ([lat, lon] in
+    radians, as the reference treats it, utils.py:68-71) lands under the
+    north pole; ``backwards`` applies the inverse rotation.
+
+    ``mesh`` is a path to an Exodus file (rewritten in place)."""
+    from .io.exodus import Exodus
+    from scipy.io import netcdf_file
+
+    lat, lon = event_loc
+    event_vec = np.array(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+    )
+    event_vec /= np.linalg.norm(event_vec)
+    north = np.array([0.0, 0.0, 1.0])
+    axis = np.cross(event_vec, north)
+    axis /= np.linalg.norm(axis)
+    angle = np.arccos(np.clip(np.dot(event_vec, north), -1, 1))
+    rot = get_rot_matrix(angle, *axis)
+    if backwards:
+        rot = rot.T
+
+    e = Exodus(mesh, mode="a")
+    rotated = (rot @ e.points.T).T
+    with netcdf_file(str(mesh), "a", mmap=False) as f:
+        for i, ax in enumerate("xyz"[: e.ndim]):
+            f.variables[f"coord{ax}"][:] = rotated[:, i]
+        f.flush()
+    return rot
+
+
+# -- great-circle sampling ------------------------------------------------
+def greatcircle_points(
+    point_1_lat: float,
+    point_1_lng: float,
+    point_2_lat: float,
+    point_2_lng: float,
+    npts: int = 101,
+) -> np.ndarray:
+    """[npts, 2] (lat, lon) degrees along the great circle from point 1
+    toward point 2.
+
+    Matches the reference's sampling convention (i * s12 / npts for
+    i in 0..npts-1, i.e. the end point itself is excluded; reference
+    utils.py:545-574).  The reference uses the WGS84 geodesic via
+    geographiclib; that package is unavailable here, so when it cannot be
+    imported an exact spherical great circle (slerp) is used -- within
+    ~0.2% of the ellipsoidal path, ample for visualization sampling.
+    """
+    if npts < 3:
+        raise ValueError("need at least 3 points")
+    try:  # pragma: no cover - dependency not present in CI image
+        from geographiclib import geodesic
+
+        g = geodesic.Geodesic.WGS84.Inverse(
+            lat1=point_1_lat, lon1=point_1_lng,
+            lat2=point_2_lat, lon2=point_2_lng,
+        )
+        line = geodesic.Geodesic.WGS84.Line(
+            point_1_lat, point_1_lng, g["azi1"]
+        )
+        pts = []
+        for i in range(npts):
+            pos = line.Position(i * g["s12"] / float(npts))
+            pts.append([pos["lat2"], pos["lon2"]])
+        return np.array(pts)
+    except ImportError:
+        pass
+
+    def unit(lat, lon):
+        la, lo = np.deg2rad(lat), np.deg2rad(lon)
+        return np.array(
+            [np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)]
+        )
+
+    a, b = unit(point_1_lat, point_1_lng), unit(point_2_lat, point_2_lng)
+    omega = np.arccos(np.clip(np.dot(a, b), -1, 1))
+    if omega == 0:
+        return np.tile([point_1_lat, point_1_lng], (npts, 1))
+    t = np.arange(npts) / float(npts)  # end point excluded, as in reference
+    sin_o = np.sin(omega)
+    vecs = (
+        (np.sin((1 - t) * omega) / sin_o)[:, None] * a[None, :]
+        + (np.sin(t * omega) / sin_o)[:, None] * b[None, :]
+    )
+    lats = np.rad2deg(np.arcsin(np.clip(vecs[:, 2], -1, 1)))
+    lons = np.rad2deg(np.arctan2(vecs[:, 1], vecs[:, 0]))
+    return np.stack([lats, lons], axis=-1)
+
+
+# -- regular-grid dataset container --------------------------------------
+@dataclasses.dataclass
+class RegularGridData:
+    """A lat/lon/depth regular grid with named data variables.
+
+    Self-contained stand-in for the xarray.Dataset the reference builds
+    (reference utils.py:619-646): carries coordinate vectors, data arrays
+    of shape [depth, lat, lon], units metadata, NetCDF serialization, and
+    optional conversion to a real xarray.Dataset when that package exists.
+    """
+
+    lat: np.ndarray
+    lon: np.ndarray
+    depth: np.ndarray
+    data: dict
+    attrs: dict = dataclasses.field(
+        default_factory=lambda: {"radius_in_meters": R_EARTH_M}
+    )
+
+    def __getitem__(self, name):
+        return self.data[name]
+
+    @property
+    def coords(self):
+        return {"depth": self.depth, "latitude": self.lat,
+                "longitude": self.lon}
+
+    def to_netcdf(self, path: Union[str, pathlib.Path]):
+        from scipy.io import netcdf_file
+
+        with netcdf_file(str(path), "w", version=2) as f:
+            f.createDimension("depth", len(self.depth))
+            f.createDimension("latitude", len(self.lat))
+            f.createDimension("longitude", len(self.lon))
+            for name, arr, unit in (
+                ("depth", self.depth, "m"),
+                ("latitude", self.lat, "deg"),
+                ("longitude", self.lon, "deg"),
+            ):
+                v = f.createVariable(name, "d", (name,))
+                v[:] = np.asarray(arr, np.float64)
+                v.units = unit.encode()
+            for name, arr in self.data.items():
+                v = f.createVariable(
+                    name, "d", ("depth", "latitude", "longitude")
+                )
+                v[:] = np.asarray(arr, np.float64)
+            f.radius_in_meters = float(self.attrs.get("radius_in_meters",
+                                                      R_EARTH_M))
+            f.flush()
+
+    @classmethod
+    def from_netcdf(cls, path: Union[str, pathlib.Path]) -> "RegularGridData":
+        from scipy.io import netcdf_file
+
+        with netcdf_file(str(path), "r", mmap=False) as f:
+            lat = np.asarray(f.variables["latitude"][:])
+            lon = np.asarray(f.variables["longitude"][:])
+            depth = np.asarray(f.variables["depth"][:])
+            data = {
+                k: np.asarray(v[:])
+                for k, v in f.variables.items()
+                if k not in ("latitude", "longitude", "depth")
+            }
+        return cls(lat=lat, lon=lon, depth=depth, data=data)
+
+    def to_xarray(self):  # pragma: no cover - xarray not in CI image
+        import xarray as xr
+
+        ds = xr.Dataset(
+            {
+                k: (["depth", "latitude", "longitude"], v)
+                for k, v in self.data.items()
+            },
+            coords=self.coords,
+            attrs=self.attrs,
+        )
+        ds.depth.attrs["units"] = "m"
+        ds.latitude.attrs["units"] = "deg"
+        ds.longitude.attrs["units"] = "deg"
+        return ds
+
+
+def create_dataset_grid(lat, lon, depth) -> RegularGridData:
+    """Empty regular-grid dataset (reference create_xarray_dataset,
+    utils.py:619-646)."""
+    return RegularGridData(
+        lat=np.asarray(lat, np.float64),
+        lon=np.asarray(lon, np.float64),
+        depth=np.asarray(depth, np.float64),
+        data={},
+    )

@@ -1,0 +1,243 @@
+"""End-to-end transfer pipeline tests: file -> engine -> file, vs oracle.
+
+This is the integration layer of the test strategy (SURVEY.md section 4):
+synthetic Salvus-format HDF5 and Exodus fixtures driving the full
+pipelines, validated against the independent NumPy/SciPy oracle and
+analytic truths.
+"""
+import numpy as np
+import pytest
+
+from multimesh_tpu import api
+from multimesh_tpu import testing as mmt
+from multimesh_tpu.io import SalvusMesh, Exodus
+
+from oracle import interpolate_np
+
+
+@pytest.fixture
+def shell_pair(tmp_path):
+    """Source (finer) and target (coarser, strictly interior) shell meshes
+    written as Salvus HDF5 files."""
+    src = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=3, order=4,
+                         lat_extent=(0.5, 1.2), lon_extent=(0.3, 1.4))
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=4,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    src_path = tmp_path / "src.h5"
+    tgt_path = tmp_path / "tgt.h5"
+    src_fields = mmt.write_salvus_fixture(src_path, src,
+                                          parameters=("VP", "VS", "RHO"))
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS", "RHO"))
+    return src, tgt, src_path, tgt_path, src_fields
+
+
+def test_gll_2_gll_end_to_end(shell_pair, tmp_path):
+    src, tgt, src_path, tgt_path, src_fields = shell_pair
+    cache = tmp_path / "stored"
+
+    api.gll_2_gll(from_gll=str(src_path), to_gll=str(tgt_path),
+                  stored_array=str(cache))
+
+    out = SalvusMesh(tgt_path, fast_mode=False)
+    assert out.nodal_parameter_indices == ["VP", "VS", "RHO", "z_node_1D"]
+
+    # accuracy vs the independent oracle on a sample of target nodes
+    sample = np.random.default_rng(0).choice(
+        tgt.nelem * tgt.n_gll, size=400, replace=False
+    )
+    pts = tgt.points.reshape(-1, 3)[sample]
+    oracle_vals, _ = interpolate_np(
+        pts, src.points, src_fields["VS"], order=4
+    )
+    mine = out.element_nodal_fields["VS"].reshape(-1)[sample]
+    rel = np.max(np.abs(mine - oracle_vals) / np.abs(oracle_vals))
+    assert rel < 1e-6, f"max rel err vs oracle {rel:.3e}"
+
+    # cached operator reproduces the result bit-for-bit
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS", "RHO"))
+    api.gll_2_gll(from_gll=str(src_path), to_gll=str(tgt_path),
+                  stored_array=str(cache))
+    out2 = SalvusMesh(tgt_path, fast_mode=False)
+    np.testing.assert_array_equal(
+        out2.element_nodal_fields["VS"].reshape(-1)[sample], mine
+    )
+
+
+def test_gll_2_gll_fluid_repair(tmp_path):
+    """Fluid target elements keep their original values."""
+    src = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=2, order=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    fluid = np.zeros(tgt.nelem)
+    fluid[:5] = 1.0
+    src_path, tgt_path = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(src_path, src, parameters=("VP", "VS", "RHO"))
+    tgt_fields = mmt.write_salvus_fixture(
+        tgt_path, tgt, parameters=("VP", "VS", "RHO"), fluid=fluid
+    )
+    api.gll_2_gll(from_gll=str(src_path), to_gll=str(tgt_path))
+    out = SalvusMesh(tgt_path, fast_mode=False)
+    np.testing.assert_allclose(
+        out.element_nodal_fields["VS"][:5], tgt_fields["VS"][:5]
+    )
+    # solid elements did get new values (different scale factor from src)
+    assert not np.allclose(
+        out.element_nodal_fields["VS"][5:], tgt_fields["VS"][5:]
+    )
+
+
+def test_gll_2_gll_layered_and_multi(tmp_path):
+    src = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=4, order=2, n_layers=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=4, order=2, n_layers=2,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    src_path, tgt_path = tmp_path / "s.h5", tmp_path / "t.h5"
+    src_fields = mmt.write_salvus_fixture(src_path, src,
+                                          parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS"))
+
+    cache = tmp_path / "layer_cache"
+    api.gll_2_gll_layered(
+        from_gll=str(src_path), to_gll=str(tgt_path), layers="all",
+        parameters=["VP", "VS"], stored_array=str(cache),
+    )
+    out = SalvusMesh(tgt_path, fast_mode=False)
+    got = out.element_nodal_fields["VP"]
+
+    # values approximate the analytic field (both meshes sample it)
+    truth = mmt.smooth_field(tgt.points)
+    assert np.max(np.abs(got - truth)) < 2e-2
+
+    assert (cache / "interp_info.h5").exists()
+
+    # multi variant with cache hits gives identical values
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS"))
+    api.gll_2_gll_layered_multi(
+        from_gll=str(src_path), to_gll=str(tgt_path), layers="all",
+        parameters=["VP", "VS"], stored_array=str(cache), threads=4,
+    )
+    out2 = SalvusMesh(tgt_path, fast_mode=False)
+    np.testing.assert_array_equal(out2.element_nodal_fields["VP"], got)
+
+    # multi_two (snap engine) also lands near the analytic field
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS"))
+    api.gll_2_gll_layered_multi_two(
+        from_gll=str(src_path), to_gll=str(tgt_path), layers="all",
+        parameters=["VP", "VS"],
+    )
+    out3 = SalvusMesh(tgt_path, fast_mode=False)
+    assert np.max(np.abs(out3.element_nodal_fields["VP"] - truth)) < 2e-2
+
+
+def test_exodus_2_gll_and_back(tmp_path):
+    """Exodus -> GLL with a linear field is exact (trilinear reproduces
+    linears); then GLL -> Exodus round-trips it."""
+    exo_mesh = mmt.box_mesh(shape=(4, 4, 4), order=1)
+    gll_mesh = mmt.box_mesh(shape=(3, 3, 3), order=2,
+                            extent=[(0.05, 0.95)] * 3)
+    exo_path = tmp_path / "m.e"
+    gll_path = tmp_path / "m.h5"
+
+    base = mmt.smooth_field(exo_mesh.vertices, "linear")
+    from multimesh_tpu.io.exodus import write_exodus
+    params = ["VP", "VS", "RHO"]
+    nodal = {p: base * (1 + 0.1 * i) for i, p in enumerate(params)}
+    write_exodus(exo_path, exo_mesh.vertices, exo_mesh.connectivity, nodal)
+    mmt.write_salvus_fixture(gll_path, gll_mesh, parameters=tuple(params))
+
+    api.exodus_2_gll(mesh=str(exo_path), gll_model=str(gll_path),
+                     parameters=params)
+    out = SalvusMesh(gll_path, fast_mode=False)
+    truth = mmt.smooth_field(gll_mesh.points, "linear")
+    for i, p in enumerate(params):
+        np.testing.assert_allclose(
+            out.element_nodal_fields[p], truth * (1 + 0.1 * i), atol=1e-10
+        )
+
+    # back: GLL -> exodus nodes
+    exo2_path = tmp_path / "back.e"
+    exo2_mesh = mmt.box_mesh(shape=(3, 3, 3), order=1,
+                             extent=[(0.1, 0.9)] * 3)
+    nodal2 = {p: np.zeros(len(exo2_mesh.vertices)) for p in params}
+    write_exodus(exo2_path, exo2_mesh.vertices, exo2_mesh.connectivity,
+                 nodal2)
+    api.gll_2_exodus(gll_model=str(gll_path), exodus_model=str(exo2_path))
+    exo2 = Exodus(exo2_path)
+    truth2 = mmt.smooth_field(exo2_mesh.vertices, "linear")
+    for i, p in enumerate(params):
+        np.testing.assert_allclose(
+            exo2.get_nodal_field(p), truth2 * (1 + 0.1 * i), atol=1e-9
+        )
+
+
+def test_query_model_and_interpolate_to_points(tmp_path):
+    """query_model on a global-ish shell + geocentric interpolate."""
+    mesh = mmt.shell_mesh(n_lat=6, n_lon=12, n_rad=3, order=2,
+                          r_inner=5.0e6, r_outer=6.371e6,
+                          lat_extent=(0.2, 2.9), lon_extent=(-3.1, 3.1))
+    path = tmp_path / "m.h5"
+    mmt.write_salvus_fixture(path, mesh, parameters=("VP", "VS"))
+
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-70, 70, 50)
+    lon = rng.uniform(-170, 170, 50)
+    depth = rng.uniform(1e5, 1.2e6, 50)
+    lld = np.stack([lat, lon, depth], -1)
+
+    vals = api.query_model(coordinates=lld, model=str(path))
+    assert vals.shape == (50, 3)  # VP, VS, z_node_1D
+    from multimesh_tpu.utils import latlondepth_to_xyz
+
+    truth = mmt.smooth_field(latlondepth_to_xyz(lld))
+    np.testing.assert_allclose(vals[:, 0], truth, atol=5e-2)
+
+    vals2 = api.interpolate_to_points(
+        mesh=str(path), points=lld, params_to_interp=["VS"],
+        geocentric=True,
+    )
+    np.testing.assert_allclose(vals2[:, 0], truth * 1.1, atol=6e-2)
+
+
+def test_interpolate_to_mesh(tmp_path):
+    src = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=2, order=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    sp, tp = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(sp, src, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(tp, tgt, parameters=("VP", "VS"))
+    api.interpolate_to_mesh(str(sp), str(tp), params_to_interp=["VP"])
+    out = SalvusMesh(tp, fast_mode=False)
+    truth = mmt.smooth_field(tgt.points)
+    assert np.max(np.abs(out.element_nodal_fields["VP"] - truth)) < 2e-2
+
+
+def test_extract_regular_grid(tmp_path):
+    mesh = mmt.shell_mesh(n_lat=6, n_lon=12, n_rad=2, order=2,
+                          r_inner=5.5e6, r_outer=6.371e6,
+                          lat_extent=(0.2, 2.9), lon_extent=(-3.1, 3.1))
+    path = tmp_path / "m.h5"
+    mmt.write_salvus_fixture(path, mesh, parameters=("VP",))
+
+    ds = api.extract_regular_grid(
+        mesh=str(path),
+        parameters=["VP"],
+        lat_extent=(-60, 60, 7),
+        lon_extent=(-150, 150, 9),
+        depth_extent=(1.0e5, 5e5, 3),
+    )
+    assert ds["VP"].shape == (3, 7, 9)
+    assert np.isfinite(ds["VP"]).all()
+
+    nc = tmp_path / "grid.nc"
+    api.extract_regular_grid(
+        mesh=str(path), parameters=["VP"],
+        lat_extent=(-60, 60, 7), lon_extent=(-150, 150, 9),
+        depth_extent=(1.0e5, 5e5, 3),
+        save_to_netcdf=True, netcdf_path=str(nc),
+    )
+    from multimesh_tpu.utils import RegularGridData
+
+    back = RegularGridData.from_netcdf(nc)
+    np.testing.assert_allclose(back["VP"], ds["VP"])

@@ -1,0 +1,57 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: sharded result must match single-device)."""
+import numpy as np
+import jax
+import pytest
+
+from multimesh_tpu import testing as mmt
+from multimesh_tpu.dist import make_mesh, sharded_transfer
+from multimesh_tpu.ops import TransferOperator
+from multimesh_tpu.config import LocateConfig
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(rng):
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=2, warp=0.1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(403, 3))  # odd count: padding path
+
+    cfg = LocateConfig(nelem_to_search=10)
+    dev_mesh = make_mesh()
+    vals = sharded_transfer(
+        pts, mesh.points, field[None], order=2, cfg=cfg,
+        fallback="sentinel", mesh=dev_mesh,
+    )
+
+    op = TransferOperator.build(mesh.points, pts, order=2, cfg=cfg,
+                                fallback="sentinel")
+    expected = op.apply(field)
+    np.testing.assert_allclose(vals[:, 0], expected, rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_multi_field_snap(rng):
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
+    f1 = mmt.element_nodal_field(mesh, "smooth")
+    fields = np.stack([f1, 2.5 * f1])
+    r = rng.uniform(3.6e6, 6.3e6, 100)
+    th = rng.uniform(0.55, 1.15, 100)
+    ph = rng.uniform(0.35, 1.35, 100)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+
+    cfg = LocateConfig(nelem_to_search=8)
+    vals = sharded_transfer(
+        pts, mesh.points, fields, order=2, cfg=cfg, fallback="snap",
+        mesh=make_mesh(),
+    )
+    op = TransferOperator.build(mesh.points, pts, order=2, cfg=cfg,
+                                fallback="snap")
+    expected = op.apply(fields)
+    # the sharded path ranks candidates in f32; near-tied candidates can
+    # resolve to a different (equally valid) accepted element, so values
+    # agree to interpolation continuity rather than bit-exactly
+    np.testing.assert_allclose(vals, expected, rtol=1e-5)

@@ -1,0 +1,99 @@
+"""Tests for geometry/misc utils."""
+import numpy as np
+import pytest
+
+from multimesh_tpu import utils
+from multimesh_tpu.config import R_EARTH_M
+
+
+def test_pick_parameters():
+    assert utils.pick_parameters("TTI") == [
+        "VPV", "VPH", "VSV", "VSH", "RHO", "ETA", "QKAPPA", "QMU",
+    ]
+    assert utils.pick_parameters("ISO") == [
+        "QKAPPA", "QMU", "RHO", "VP", "VS",
+    ]
+    assert utils.pick_parameters(["A", "B"]) == ["A", "B"]
+    assert utils.pick_parameters("WEIRD") == ["WEIRD"]
+
+
+def test_sph_cart_roundtrip(rng):
+    col = rng.uniform(0.01, np.pi - 0.01, 100)
+    lon = rng.uniform(-np.pi, np.pi, 100)
+    rad = rng.uniform(1e5, 7e6, 100)
+    x, y, z = utils.sph2cart(col, lon, rad)
+    c2, l2, r2 = utils.cart2sph(x, y, z)
+    np.testing.assert_allclose(c2, col, atol=1e-12)
+    np.testing.assert_allclose(l2, lon, atol=1e-12)
+    np.testing.assert_allclose(r2, rad, rtol=1e-12)
+    with pytest.raises(ValueError):
+        utils.sph2cart(np.array([-0.1]), np.array([0.0]), np.array([1.0]))
+
+
+def test_cart2sph_origin_safe():
+    c, l, r = utils.cart2sph(0.0, 0.0, 0.0)
+    assert np.isfinite(c) and np.isfinite(l) and r == 0
+
+
+def test_latlondepth_to_xyz():
+    # north pole at zero depth
+    xyz = utils.latlondepth_to_xyz(np.array([[90.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(xyz, [[0, 0, R_EARTH_M]], atol=1e-6)
+    # equator, lon 90, 1000 km depth
+    xyz = utils.latlondepth_to_xyz(np.array([[0.0, 90.0, 1e6]]))
+    np.testing.assert_allclose(xyz, [[0, R_EARTH_M - 1e6, 0]], atol=1e-6)
+
+
+def test_rot_matrix_properties(rng):
+    m = utils.get_rot_matrix(0.7, 1.0, 2.0, -0.5)
+    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-12)
+    # rotation about z by 90 deg maps x->y
+    mz = utils.get_rot_matrix(np.pi / 2, 0, 0, 1.0)
+    np.testing.assert_allclose(mz @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+
+def test_rotate_mesh_roundtrip(tmp_path):
+    from multimesh_tpu import testing as mmt
+    from multimesh_tpu.io import Exodus
+    from multimesh_tpu.io.exodus import write_exodus
+
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
+    p = tmp_path / "rot.e"
+    write_exodus(p, mesh.vertices, mesh.connectivity, {"V": np.zeros(27)})
+    orig = Exodus(p).points.copy()
+    event = (0.3, 1.1)  # radians, as in the reference
+    utils.rotate_mesh(p, event)
+    rotated = Exodus(p).points.copy()
+    assert not np.allclose(rotated, orig)
+    # norms preserved
+    np.testing.assert_allclose(
+        np.linalg.norm(rotated, axis=1), np.linalg.norm(orig, axis=1),
+        atol=1e-12,
+    )
+    utils.rotate_mesh(p, event, backwards=True)
+    np.testing.assert_allclose(Exodus(p).points, orig, atol=1e-12)
+
+
+def test_greatcircle_points():
+    pts = utils.greatcircle_points(0.0, 0.0, 0.0, 90.0, npts=10)
+    assert pts.shape == (10, 2)
+    # along the equator: lats stay ~0, lons increase toward (excl.) 90
+    np.testing.assert_allclose(pts[:, 0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(pts[:, 1], np.arange(10) * 9.0, atol=1e-9)
+    with pytest.raises(ValueError):
+        utils.greatcircle_points(0, 0, 1, 1, npts=2)
+
+
+def test_regular_grid_dataset_roundtrip(tmp_path):
+    lat = np.linspace(-10, 10, 5)
+    lon = np.linspace(0, 30, 7)
+    depth = np.linspace(0, 1e5, 3)
+    ds = utils.create_dataset_grid(lat, lon, depth)
+    ds.data["VP"] = np.arange(3 * 5 * 7, dtype=float).reshape(3, 5, 7)
+    p = tmp_path / "grid.nc"
+    ds.to_netcdf(p)
+    back = utils.RegularGridData.from_netcdf(p)
+    np.testing.assert_allclose(back["VP"], ds["VP"])
+    np.testing.assert_allclose(back.lat, lat)
+    np.testing.assert_allclose(back.depth, depth)
