@@ -43,14 +43,22 @@ def main():
         [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
          r * np.cos(th)], -1)
 
+    import jax
+
     cfg = LocateConfig(nelem_to_search=20, precision=Precision.MIXED)
+    fields_dev = jnp.asarray(fields)
+    pts_dev = jnp.asarray(pts)
 
     def run():
         op = TransferOperator.build(
-            src.points, pts, order=order, cfg=cfg, fallback="snap",
+            src.points, pts_dev, order=order, cfg=cfg, fallback="snap",
             prefilter_m=4,
         )
-        vals = op.apply(fields)  # np.asarray inside forces completion
+        vals = op.apply(fields_dev)
+        # force completion with a scalar transfer (block_until_ready does
+        # not actually block on the axon platform, and a full host
+        # transfer of vals would time the tunnel, not the chip)
+        float(jnp.sum(vals[:, 0]))
         return op, vals
 
     run()  # warmup / compile
@@ -58,9 +66,10 @@ def main():
     op, vals = run()
     dt = time.time() - t0
 
-    truth = mmt.smooth_field(pts)
-    denom = np.abs(truth)
-    rel_err = float(np.max(np.abs(vals[:, 0] - truth) / denom))
+    truth = jnp.asarray(mmt.smooth_field(pts))
+    rel_err = float(
+        jnp.max(jnp.abs(vals[:, 0] - truth) / jnp.abs(truth))
+    )
 
     rate = n_points / dt / 1e6  # M pts/s/chip
     north_star_rate = 1.25  # M pts/s/chip (100M in 10 s over 8 chips)

@@ -101,9 +101,11 @@ def sharded_transfer(
     )
     def _shard_fn(pts, nodes, crn, lo_, hi_, cen, ctr, flds):
         cand = _device_knn(pts - ctr, cen - ctr, k)
+        dummy = jnp.zeros((1,), jnp.float32)
         elements, refs, weights, found, _acc = _locate_chunk(
-            pts, cand, nodes, crn, (lo_, hi_), order, cfg,
-            jnp.float32, use_aabb, fallback, 0,
+            pts, cand, nodes, crn, (lo_, hi_),
+            (dummy, dummy, dummy), dummy, dummy,
+            order, cfg, jnp.float32, use_aabb, fallback, 0, "xla", False,
         )
         safe = jnp.maximum(elements, 0)
         gathered = flds[:, safe, :]

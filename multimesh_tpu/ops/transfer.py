@@ -56,8 +56,8 @@ class TransferOperator:
               built on deduplicated unique points (apply_recon expands back)
     """
 
-    elements: np.ndarray
-    weights: np.ndarray
+    elements: np.ndarray  # device or host array
+    weights: np.ndarray   # device or host array
     order: int
     recon: np.ndarray | None = None
 
@@ -75,6 +75,7 @@ class TransferOperator:
         centroids=None,
         candidates=None,
         recon=None,
+        engine: str = "auto",
     ) -> "TransferOperator":
         res = _locate(
             target_points,
@@ -86,9 +87,10 @@ class TransferOperator:
             prefilter_m=prefilter_m,
             centroids=centroids,
             candidates=candidates,
+            engine=engine,
         )
         return cls(res.elements, res.weights, order,
-                   None if recon is None else np.asarray(recon))
+                   None if recon is None else jnp.asarray(recon))
 
     @property
     def n_points(self) -> int:
@@ -96,28 +98,42 @@ class TransferOperator:
 
     @property
     def num_missing(self) -> int:
-        return int((self.elements < 0).sum())
+        return int(jnp.sum(jnp.asarray(self.elements) < 0))
 
-    def apply(self, fields, expand: bool = True) -> np.ndarray:
+    def apply(self, fields, expand: bool = True,
+              chunk: int = 1_048_576) -> np.ndarray:
         """Apply to one field [E, n] -> [N] or a stack [F, E, n] -> [N, F].
 
         When the operator was built on unique points and ``expand`` is set,
         the result is reconstructed to the original (duplicated) point
-        ordering via ``recon``.
+        ordering via ``recon``.  The result is a DEVICE array; call
+        np.asarray(...) to bring it to the host (file write-back paths do).
+
+        The gather is computed at the weights' dtype (f32 for the pallas
+        engine, f64 for the xla engine -- matching the accuracy the
+        location stage delivered) and chunked over points to bound the
+        [F, chunk, n] gather buffer.
         """
-        fields = np.asarray(fields)
+        fields = jnp.asarray(fields)
         single = fields.ndim == 2
         if single:
             fields = fields[None]
-        out = np.asarray(
-            _apply_device(
-                jnp.asarray(self.elements),
-                jnp.asarray(self.weights),
-                jnp.asarray(fields),
-            )
-        )
+        elements = jnp.asarray(self.elements)
+        weights = jnp.asarray(self.weights)
+        fields = fields.astype(weights.dtype)
+        N = elements.shape[0]
+        if N <= chunk:
+            out = _apply_device(elements, weights, fields)
+        else:
+            outs = [
+                _apply_device(
+                    elements[s:s + chunk], weights[s:s + chunk], fields
+                )
+                for s in range(0, N, chunk)
+            ]
+            out = jnp.concatenate(outs, axis=0)
         if expand and self.recon is not None:
-            out = out[self.recon]
+            out = out[jnp.asarray(self.recon)]
         return out[:, 0] if single else out
 
     # -- persistence ------------------------------------------------------
@@ -127,14 +143,17 @@ class TransferOperator:
         (reference interpolator.py:800-810)."""
         directory = str(directory)
         os.makedirs(directory, exist_ok=True)
-        np.save(os.path.join(directory, "elements.npy"), self.elements)
-        np.save(os.path.join(directory, "coeffs.npy"), self.weights)
+        np.save(os.path.join(directory, "elements.npy"),
+                np.asarray(self.elements))
+        np.save(os.path.join(directory, "coeffs.npy"),
+                np.asarray(self.weights))
         np.save(
             os.path.join(directory, "meta.npy"),
             np.array([self.order], dtype=np.int64),
         )
         if self.recon is not None:
-            np.save(os.path.join(directory, "recon.npy"), self.recon)
+            np.save(os.path.join(directory, "recon.npy"),
+                    np.asarray(self.recon))
 
     @classmethod
     def load(cls, directory: PathLike) -> "TransferOperator":

@@ -20,6 +20,14 @@ exactly as in the reference, but every lane stays busy.  An optional
 trilinear prefilter ranks candidates with a cheap 8-corner Newton first and
 runs the full-order Newton only on the few best -- same acceptance
 tolerances, a fraction of the gather traffic and FLOPs.
+
+Two interchangeable Newton backends:
+
+* ``engine="xla"``   -- core.shape.inverse_map einsums (f64-capable; the
+  accuracy-reference path, default on CPU hosts);
+* ``engine="pallas"``-- the fused VMEM-resident f32 kernel
+  (search.pallas_newton), fed with nodes pre-centered per element in f64;
+  ~40x faster on TPU and the default there.
 """
 from __future__ import annotations
 
@@ -33,30 +41,101 @@ import numpy as np
 from ..config import LocateConfig, DEFAULT_LOCATE, FALLBACK_REF_COORD
 from ..core import gll, shape
 from .knn import knn as _knn
+from . import pallas_newton as pn
+
+# residual threshold (unit-element frame) separating converged f32 Newton
+# solves (~1e-6 plateau) from diverged/exterior junk
+_F32_CONV_TOL = 1e-4
 
 
 @dataclasses.dataclass
 class LocateResult:
     """elements [N] (int32, -1 = not found), refs [N, d], weights [N, n],
-    found [N] bool (True also for snapped / fallback assignments)."""
+    found [N] bool (True also for snapped / fallback assignments).
 
-    elements: np.ndarray
-    refs: np.ndarray
-    weights: np.ndarray
-    found: np.ndarray
+    Fields are DEVICE arrays (jax) -- the weights matrix is large
+    (N x (p+1)^d) and staying on device keeps the subsequent gather+apply
+    free of host round-trips.  np.asarray(...) any field to pull it to the
+    host."""
+
+    elements: jnp.ndarray
+    refs: jnp.ndarray
+    weights: jnp.ndarray
+    found: jnp.ndarray
 
 
-def _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
-                     use_aabb: bool):
+def default_engine() -> str:
+    """pallas on real accelerators, xla on CPU hosts."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "xla" if platform == "cpu" else "pallas"
+
+
+# ---------------------------------------------------------------------------
+# Newton backends: invert(ids) -> (ref [C, d], conv [C], maxabs [C])
+# ---------------------------------------------------------------------------
+def _make_xla_invert(points, elem_nodes, order, cfg, dtype):
+    def invert(ids):
+        nodes = elem_nodes[ids]
+        ref, conv = shape.inverse_map(nodes, points, order=order, cfg=cfg,
+                                      dtype=dtype)
+        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        return ref, conv, maxabs
+
+    return invert
+
+
+def _make_pallas_invert(points, nodes_c32, centering, order, cfg,
+                        interpret):
+    """points [C, d] (C a multiple of pallas BLOCK); nodes_c32 [E, n, d]
+    f32 pre-centered; centering = (ctr_hi, ctr_lo, inv_scale) f32.
+
+    Point centering uses split-f32 (hi + lo residual) arithmetic: the
+    hi-hi subtraction of nearby values is exactly rounded, and the lo
+    terms restore the bits lost when casting Earth-scale f64 coordinates
+    to f32 -- giving f64-quality centered coordinates with zero emulated
+    f64 work in the per-candidate loop."""
+    C, d = points.shape
+    R = C // pn._LANES
+    ctr_hi, ctr_lo, inv_scale = centering
+    p_hi = points.astype(jnp.float32)
+    p_lo = (points - p_hi.astype(points.dtype)).astype(jnp.float32)
+
+    def invert(ids):
+        diff = (p_hi - ctr_hi[ids]) + (p_lo - ctr_lo[ids])
+        p_c = diff * inv_scale[ids][:, None]
+        p_t = jnp.transpose(p_c, (1, 0)).reshape(d, R, pn._LANES)
+        nk = nodes_c32[ids]  # [C, n, d] f32 gather
+        n_t = jnp.transpose(nk, (1, 2, 0)).reshape(
+            nk.shape[1], d, R, pn._LANES
+        )
+        refs_t, res_t = pn.newton_refs(
+            n_t, p_t, order, d, iters=cfg.newton_iters + cfg.polish_iters,
+            clamp=cfg.newton_clamp, interpret=interpret,
+        )
+        ref = jnp.transpose(refs_t.reshape(d, C), (1, 0))
+        res = res_t.reshape(C)
+        conv = res < _F32_CONV_TOL
+        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        return ref.astype(points.dtype), conv, maxabs
+
+    return invert
+
+
+# ---------------------------------------------------------------------------
+# Candidate scan with first-accept / best-so-far / AABB / nearest state
+# ---------------------------------------------------------------------------
+def _scan_candidates(points, cand, invert, aabb, cfg, use_aabb: bool):
     """Scan K candidates in distance order, carrying per-point state.
 
-    points [C, d]; cand [C, K] int; elem_nodes [E, n, d];
-    aabb (lo [E, d], hi [E, d]) or None.
-    Returns per-point dict of arrays (see body).
+    points [C, d]; cand [C, K] int; invert: ids -> (ref, conv, maxabs);
+    aabb (lo [E, d], hi [E, d]).
     """
     C, d = points.shape
     K = cand.shape[1]
-    ref_dt = elem_nodes.dtype
+    ref_dt = points.dtype
 
     def body(carry, k):
         (acc_found, acc_ref, acc_elem,
@@ -65,15 +144,17 @@ def _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
          near_d, near_ref, near_elem, near_conv) = carry
 
         ids = cand[:, k]
-        nodes = elem_nodes[ids]  # [C, n, d] gather
-        ref, conv = shape.inverse_map(nodes, points, order=order, cfg=cfg,
-                                      dtype=dtype)
-        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        ref, conv, maxabs = invert(ids)
         valid = conv
         if use_aabb:
             lo, hi = aabb
+            # small relative slack: face points must not be excluded by
+            # floating-point rounding of the AABB test
+            span = hi[ids] - lo[ids]
+            eps = 1e-9 * span
             inside = jnp.all(
-                (points >= lo[ids]) & (points <= hi[ids]), axis=-1
+                (points >= lo[ids] - eps) & (points <= hi[ids] + eps),
+                axis=-1,
             )
         else:
             inside = jnp.ones((C,), bool)
@@ -131,23 +212,17 @@ def _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
     return dict(zip(keys, carry))
 
 
-def _trilinear_rank(points, cand, elem_corners, cfg, dtype, m: int):
-    """Rank candidates by 8-corner (trilinear) Newton max |ref|; return the
-    best ``m`` candidate columns per point, re-sorted into distance order so
-    downstream first-accept semantics are preserved."""
-    K = cand.shape[1]
+def _prefilter_rank(cand, invert1, m: int, K: int):
+    """Rank candidates by trilinear (8-corner) Newton max |ref|; return the
+    best ``m`` candidate columns per point, re-sorted into distance order
+    so downstream first-accept semantics are preserved."""
 
     def body(_, k):
-        ids = cand[:, k]
-        corners = elem_corners[ids]
-        ref, conv = shape.inverse_map(corners, points, order=1, cfg=cfg,
-                                      dtype=dtype)
-        maxabs = jnp.max(jnp.abs(ref), axis=-1)
+        ref, conv, maxabs = invert1(cand[:, k])
         return None, jnp.where(conv, maxabs, jnp.inf)
 
     _, scores = jax.lax.scan(body, None, jnp.arange(K))  # [K, C]
-    scores = scores.T  # [C, K]
-    _, pos = jax.lax.top_k(-scores, m)  # positions of m best
+    _, pos = jax.lax.top_k(-scores.T, m)
     pos = jnp.sort(pos, axis=1)  # restore distance order
     return jnp.take_along_axis(cand, pos, axis=1)
 
@@ -155,26 +230,54 @@ def _trilinear_rank(points, cand, elem_corners, cfg, dtype, m: int):
 @functools.partial(
     jax.jit,
     static_argnames=("order", "cfg", "dtype", "use_aabb", "fallback",
-                     "prefilter_m"),
+                     "prefilter_m", "engine", "interpret"),
 )
-def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
-                  cfg, dtype, use_aabb, fallback, prefilter_m):
-    if prefilter_m and prefilter_m < cand.shape[1] and order > 1:
-        cand = _trilinear_rank(points, cand, elem_corners, cfg, dtype,
-                               prefilter_m)
-    st = _scan_candidates(points, cand, elem_nodes, aabb, order, cfg, dtype,
-                          use_aabb)
+def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
+                  centering, nodes_c32, corners_c32,
+                  order, cfg, dtype, use_aabb, fallback, prefilter_m,
+                  engine, interpret):
     C, d = points.shape
-    ref_dt = elem_nodes.dtype
+    ref_dt = points.dtype
+
+    cfg1 = dataclasses.replace(
+        cfg, newton_iters=max(10, cfg.newton_iters // 2)
+    )
+    if engine == "pallas":
+        invert = _make_pallas_invert(points, nodes_c32, centering,
+                                     order, cfg, interpret)
+        invert1 = (
+            invert
+            if order == 1
+            else _make_pallas_invert(points, corners_c32, centering,
+                                     1, cfg1, interpret)
+        )
+    else:
+        invert = _make_xla_invert(points, elem_nodes, order, cfg, dtype)
+        invert1 = (
+            invert
+            if order == 1
+            else _make_xla_invert(points, elem_corners, 1, cfg1, dtype)
+        )
+
+    if prefilter_m and prefilter_m < cand.shape[1] and order > 1:
+        cand = _prefilter_rank(cand, invert1, prefilter_m, cand.shape[1])
+
+    st = _scan_candidates(points, cand, invert, aabb, cfg, use_aabb)
+
+    # weights at the refs' own accuracy: the pallas engine's refs carry
+    # f32 precision, so f32 weights lose nothing and halve the bandwidth
+    # of every downstream gather/apply
+    w_dt = jnp.float32 if engine == "pallas" else ref_dt
 
     acc = st["acc_found"]
     if fallback == "sentinel":
         # Reference get_element_weights with snap_to_nearest=False
         # (interpolator.py:1231-1233): -1 and zero weights.
         elements = jnp.where(acc, st["acc_elem"], -1)
-        refs = jnp.where(acc[:, None], st["acc_ref"], jnp.zeros((C, d), ref_dt))
+        refs = jnp.where(acc[:, None], st["acc_ref"],
+                         jnp.zeros((C, d), ref_dt))
         found = acc
-        weights = gll.tensor_basis(order, refs)
+        weights = gll.tensor_basis(order, refs.astype(w_dt))
         weights = jnp.where(acc[:, None], weights, 0.0)
     elif fallback == "snap":
         # snap_to_nearest=True (interpolator.py:1217-1230): clip the best
@@ -183,7 +286,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
         elements = jnp.where(acc, st["acc_elem"], st["best_elem"])
         refs = jnp.where(acc[:, None], st["acc_ref"], snapped)
         found = jnp.ones((C,), bool)
-        weights = gll.tensor_basis(order, refs)
+        weights = gll.tensor_basis(order, refs.astype(w_dt))
     elif fallback == "best":
         # C trilinear kernel semantics (trilinearinterpolator.c:113-137):
         # take the best-so-far candidate *unclipped* if its max |ref| is
@@ -194,7 +297,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
         refs = jnp.where(acc[:, None], st["acc_ref"],
                          jnp.where(ok[:, None], st["best_ref"], 0.0))
         found = acc | ok
-        weights = gll.tensor_basis(order, refs)
+        weights = gll.tensor_basis(order, refs.astype(w_dt))
         weights = jnp.where(found[:, None], weights, 0.0)
     elif fallback == "fixed_ref":
         # Reference _check_if_inside_element (interpolator.py:1448-1473):
@@ -213,7 +316,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb, order,
         elements = jnp.where(acc, st["acc_elem"], fb_elem)
         refs = jnp.where(acc[:, None], st["acc_ref"], fb_ref)
         found = jnp.ones((C,), bool)
-        weights = gll.tensor_basis(order, refs)
+        weights = gll.tensor_basis(order, refs.astype(w_dt))
     else:
         raise ValueError(f"unknown fallback mode {fallback!r}")
     return elements.astype(jnp.int32), refs, weights, found, acc
@@ -230,21 +333,33 @@ def locate(
     centroids=None,
     candidates=None,
     prefilter_m: int = 0,
-    chunk: int = 65_536,
+    chunk: int = 262_144,
     dtype=None,
+    engine: str = "auto",
 ) -> LocateResult:
     """Locate each query point in the source mesh and compute GLL weights.
 
     points [N, d]; elem_nodes [E, (p+1)^d, d] device array (canonical
-    lattice order).  ``fallback`` in {"sentinel", "snap", "fixed_ref"}
-    selects which reference failure semantics apply (see module docstring).
-    ``prefilter_m`` > 0 enables the trilinear candidate prefilter keeping
-    the m best candidates.  ``candidates`` [N, K] may be passed to skip the
-    internal kNN (e.g. layered paths with per-layer trees).
+    lattice order).  ``fallback`` in {"sentinel", "snap", "best",
+    "fixed_ref"} selects which reference failure semantics apply (see
+    module docstring).  ``prefilter_m`` > 0 enables the trilinear
+    candidate prefilter keeping the m best candidates (with a full-scan
+    rescue pass for points it fails to accept).  ``candidates`` [N, K] may
+    be passed to skip the internal kNN (e.g. layered paths with per-layer
+    trees).  ``engine``: "auto" | "xla" | "pallas".
     """
     points = jnp.asarray(points)
     elem_nodes = jnp.asarray(elem_nodes)
     N, d = points.shape
+    if engine == "auto":
+        engine = default_engine()
+    interpret = False
+    if engine == "pallas":
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        interpret = platform == "cpu"
     if dtype is None:
         from ..config import Precision
 
@@ -265,11 +380,40 @@ def locate(
     lo = jnp.min(elem_nodes, axis=1)
     hi = jnp.max(elem_nodes, axis=1)
 
+    if engine == "pallas":
+        # per-element centering/scale in full precision, stored once;
+        # the kernel consumes exact-to-f32 unit-frame geometry, and the
+        # per-candidate point centering uses a split-f32 representation
+        # of the centers (see _make_pallas_invert)
+        centers = 0.5 * (lo + hi)
+        scales = jnp.maximum(
+            0.5 * jnp.max(hi - lo, axis=-1), 1e-30
+        )
+        nodes_c32 = (
+            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        corners_c32 = (
+            (corners - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        ctr_hi = centers.astype(jnp.float32)
+        ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
+            jnp.float32
+        )
+        inv_scale = (1.0 / scales).astype(jnp.float32)
+        centering = (ctr_hi, ctr_lo, inv_scale)
+        min_bucket = pn.BLOCK
+    else:
+        z = jnp.zeros((1,), jnp.float32)
+        centering = (z, z, z)
+        nodes_c32 = corners_c32 = z
+        min_bucket = 1
+
     def run_chunk(pts_c, cand_c, pm):
         # Pad every chunk to a power-of-two row count so XLA compiles one
-        # kernel per bucket instead of one per distinct batch size.
+        # kernel per bucket instead of one per distinct batch size (and to
+        # the pallas BLOCK granularity when that engine is active).
         n = pts_c.shape[0]
-        bucket = 1 << max(0, (n - 1)).bit_length()
+        bucket = max(min_bucket, 1 << max(0, (n - 1)).bit_length())
         if bucket != n:
             reps = bucket - n
             pts_c = jnp.concatenate(
@@ -279,8 +423,9 @@ def locate(
                 [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
             )
         out = _locate_chunk(
-            pts_c, cand_c, elem_nodes, corners, (lo, hi), order, cfg,
-            dtype, use_aabb, fallback, pm,
+            pts_c, cand_c, elem_nodes, corners, (lo, hi),
+            centering, nodes_c32, corners_c32,
+            order, cfg, dtype, use_aabb, fallback, pm, engine, interpret,
         )
         return tuple(o[:n] for o in out)
 
@@ -297,11 +442,6 @@ def locate(
         found = jnp.concatenate([o[3] for o in outs])
         accepted = jnp.concatenate([o[4] for o in outs])
 
-    elements = np.asarray(elements)
-    refs = np.asarray(refs)
-    weights = np.asarray(weights)
-    found = np.asarray(found)
-
     if prefilter_m and prefilter_m < candidates.shape[1]:
         # Rescue pass: the trilinear prefilter can mis-rank candidates on
         # strongly curved elements (the linear geometry is a poor proxy
@@ -311,16 +451,13 @@ def locate(
         # result as reliable as the exhaustive scan.
         retry = np.where(~np.asarray(accepted))[0]
         if retry.size:
+            retry_j = jnp.asarray(retry)
             r_el, r_ref, r_w, r_f, _ = run_chunk(
-                points[retry], candidates[retry], 0
+                points[retry_j], candidates[retry_j], 0
             )
-            elements = elements.copy()
-            refs = refs.copy()
-            weights = weights.copy()
-            found = found.copy()
-            elements[retry] = np.asarray(r_el)
-            refs[retry] = np.asarray(r_ref)
-            weights[retry] = np.asarray(r_w)
-            found[retry] = np.asarray(r_f)
+            elements = elements.at[retry_j].set(r_el)
+            refs = refs.at[retry_j].set(r_ref)
+            weights = weights.at[retry_j].set(r_w)
+            found = found.at[retry_j].set(r_f)
 
     return LocateResult(elements, refs, weights, found)

@@ -72,6 +72,26 @@ def test_locate_prefilter_matches_full_scan(rng):
     )
 
 
+def test_locate_pallas_engine_matches_xla(rng):
+    """The fused pallas kernel (interpret mode on CPU) must agree with the
+    XLA reference engine to f32 ref-coordinate accuracy."""
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=4)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    r = rng.uniform(3.6e6, 6.2e6, 150)
+    th = rng.uniform(0.55, 1.15, 150)
+    ph = rng.uniform(0.35, 1.35, 150)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    rx = locate(pts, mesh.points, order=4, fallback="snap", engine="xla")
+    rp = locate(pts, mesh.points, order=4, fallback="snap",
+                engine="pallas")
+    assert rp.found.all()
+    np.testing.assert_allclose(
+        _interp(rp, field), _interp(rx, field), rtol=1e-6
+    )
+
+
 def test_locate_exterior_sentinel_and_snap(rng):
     mesh = mmt.box_mesh(shape=(2, 2, 2), order=2)
     field = mmt.element_nodal_field(mesh, "linear")

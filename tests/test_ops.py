@@ -51,7 +51,7 @@ def test_transfer_operator_nan_cache_rejected(tmp_path):
     src = mmt.box_mesh(shape=(2, 2, 2), order=1)
     pts = np.full((5, 3), 0.5)
     op = TransferOperator.build(src.points, pts, order=1)
-    op.weights = op.weights.copy()
+    op.weights = np.array(op.weights)  # device array is immutable
     op.weights[0, 0] = np.nan
     op.save(tmp_path / "bad")
     with pytest.raises(ValueError, match="NaN"):
