@@ -167,12 +167,13 @@ def _layered_operators(
     if cache_path and os.path.exists(cache_path):
         with h5py.File(cache_path, "r") as f:
             for layer in uniq:
-                ops[layer] = TransferOperator(
+                op = TransferOperator(
                     elements=f[f"elements/{layer}"][()].astype(np.int32),
-                    weights=f[f"coeffs/{layer}"][()],
                     order=original_mesh.shape_order,
                     recon=uniq[layer][1],
                 )
+                op.weights = f[f"coeffs/{layer}"][()]
+                ops[layer] = op
         return ops, src_masks, tgt_masks
 
     order = original_mesh.shape_order
@@ -417,6 +418,67 @@ def gll_2_exodus(
     for i, param in enumerate(parameters):
         exo.attach_field(param, values[:, i])
     return values
+
+
+def get_element_weights(
+    gll_points,
+    shape_order: int,
+    centroids,
+    points,
+    nelem_to_search: int = 25,
+    tolerance: float = 1.05,
+    snap_to_nearest: bool = False,
+):
+    """(elements, coeffs) for a point cloud -- reference parity wrapper.
+
+    Same contract as the reference's main parallel engine
+    (interpolator.py:1147-1255): gll_points [E, n, d], candidate count,
+    acceptance tolerance, snap-to-nearest fallback; returns
+    (elements [N] with -1 for missing, coeffs [N, n]) as host arrays.
+    Instead of a centroid KD-tree this takes the centroids themselves
+    (or None to compute them).
+    """
+    cfg = LocateConfig(nelem_to_search=nelem_to_search,
+                       accept_tol=tolerance)
+    op = TransferOperator.build(
+        gll_points,
+        np.asarray(points, np.float64),
+        order=shape_order,
+        cfg=cfg,
+        fallback="snap" if snap_to_nearest else "sentinel",
+        prefilter_m=PREFILTER_M,
+        centroids=centroids,
+    )
+    return np.asarray(op.elements), np.asarray(op.weights)
+
+
+def get_element_weights_layered(
+    new_coordinates,
+    nearest_elements,
+    original_mesh,
+    original_mask,
+    dimensions: int = 3,
+    from_gll_order: int = 2,
+):
+    """Per-layer (elements, coeffs) dicts -- reference parity wrapper
+    (interpolator.py:1258-1334; acceptance tolerance 1.03, sentinel).
+
+    new_coordinates: layer -> (points, recon); nearest_elements: layer ->
+    [N_layer, k] candidate ids into the masked element set."""
+    cfg = LocateConfig(accept_tol=1.03)
+    elems, coeffs = {}, {}
+    for layer, (pts, _recon) in new_coordinates.items():
+        op = TransferOperator.build(
+            original_mesh.points[original_mask[layer]],
+            np.asarray(pts, np.float64),
+            order=from_gll_order,
+            cfg=cfg,
+            fallback="sentinel",
+            candidates=np.asarray(nearest_elements[layer]),
+        )
+        elems[layer] = np.asarray(op.elements)
+        coeffs[layer] = np.asarray(op.weights)
+    return elems, coeffs
 
 
 def exodus_2_exodus(

@@ -45,6 +45,20 @@ def _apply_device(elements, weights, fields):
     return jnp.where((elements >= 0)[:, None], vals, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("order",))
+def _apply_device_refs(elements, refs, found, fields, order):
+    """Fused apply: basis weights recomputed from ref coords on the fly
+    (the [N, n] weights matrix never materializes in HBM)."""
+    from ..core import gll
+
+    weights = gll.tensor_basis(order, refs.astype(fields.dtype))
+    weights = jnp.where(found[:, None], weights, 0.0)
+    safe = jnp.maximum(elements, 0)
+    gathered = fields[:, safe, :]
+    vals = jnp.einsum("fnk,nk->nf", gathered, weights)
+    return jnp.where((elements >= 0)[:, None], vals, 0.0)
+
+
 @dataclasses.dataclass
 class TransferOperator:
     """(elements, weights) pair mapping a source mesh onto target points.
@@ -57,9 +71,27 @@ class TransferOperator:
     """
 
     elements: np.ndarray  # device or host array
-    weights: np.ndarray   # device or host array
     order: int
+    refs: np.ndarray | None = None   # [N, d] ref coords (compact form)
+    found: np.ndarray | None = None  # [N] bool
     recon: np.ndarray | None = None
+    _weights: np.ndarray | None = None  # explicit weights (loaded caches)
+
+    @property
+    def weights(self):
+        """[N, (p+1)^d] weights; materialized lazily from refs."""
+        if self._weights is not None:
+            return self._weights
+        from ..core import gll
+
+        w = gll.tensor_basis(self.order, jnp.asarray(self.refs))
+        if self.found is not None:
+            w = jnp.where(jnp.asarray(self.found)[:, None], w, 0.0)
+        return w
+
+    @weights.setter
+    def weights(self, value):
+        self._weights = value
 
     @classmethod
     def build(
@@ -88,9 +120,15 @@ class TransferOperator:
             centroids=centroids,
             candidates=candidates,
             engine=engine,
+            want_weights=False,
         )
-        return cls(res.elements, res.weights, order,
-                   None if recon is None else jnp.asarray(recon))
+        return cls(
+            elements=res.elements,
+            order=order,
+            refs=res.refs,
+            found=res.found,
+            recon=None if recon is None else jnp.asarray(recon),
+        )
 
     @property
     def n_points(self) -> int:
@@ -119,19 +157,32 @@ class TransferOperator:
         if single:
             fields = fields[None]
         elements = jnp.asarray(self.elements)
-        weights = jnp.asarray(self.weights)
-        fields = fields.astype(weights.dtype)
         N = elements.shape[0]
-        if N <= chunk:
-            out = _apply_device(elements, weights, fields)
-        else:
+        if self._weights is not None:
+            weights = jnp.asarray(self._weights)
+            fields = fields.astype(weights.dtype)
             outs = [
                 _apply_device(
                     elements[s:s + chunk], weights[s:s + chunk], fields
                 )
                 for s in range(0, N, chunk)
             ]
-            out = jnp.concatenate(outs, axis=0)
+        else:
+            refs = jnp.asarray(self.refs)
+            found = (
+                jnp.asarray(self.found)
+                if self.found is not None
+                else jnp.ones((N,), bool)
+            )
+            fields = fields.astype(refs.dtype)
+            outs = [
+                _apply_device_refs(
+                    elements[s:s + chunk], refs[s:s + chunk],
+                    found[s:s + chunk], fields, self.order,
+                )
+                for s in range(0, N, chunk)
+            ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         if expand and self.recon is not None:
             out = out[jnp.asarray(self.recon)]
         return out[:, 0] if single else out
@@ -146,7 +197,7 @@ class TransferOperator:
         np.save(os.path.join(directory, "elements.npy"),
                 np.asarray(self.elements))
         np.save(os.path.join(directory, "coeffs.npy"),
-                np.asarray(self.weights))
+                np.asarray(self.weights))  # materializes from refs
         np.save(
             os.path.join(directory, "meta.npy"),
             np.array([self.order], dtype=np.int64),
@@ -171,7 +222,10 @@ class TransferOperator:
             order = int(round(weights.shape[1] ** (1 / dim))) - 1
         recon_path = os.path.join(directory, "recon.npy")
         recon = np.load(recon_path) if os.path.exists(recon_path) else None
-        return cls(elements.astype(np.int32), weights, order, recon)
+        op = cls(elements=elements.astype(np.int32), order=order,
+                 recon=recon)
+        op._weights = weights
+        return op
 
     @staticmethod
     def exists(directory: PathLike) -> bool:

@@ -230,12 +230,12 @@ def _prefilter_rank(cand, invert1, m: int, K: int):
 @functools.partial(
     jax.jit,
     static_argnames=("order", "cfg", "dtype", "use_aabb", "fallback",
-                     "prefilter_m", "engine", "interpret"),
+                     "prefilter_m", "engine", "interpret", "want_weights"),
 )
 def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
                   centering, nodes_c32, corners_c32,
                   order, cfg, dtype, use_aabb, fallback, prefilter_m,
-                  engine, interpret):
+                  engine, interpret, want_weights=True):
     C, d = points.shape
     ref_dt = points.dtype
 
@@ -264,10 +264,18 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
 
     st = _scan_candidates(points, cand, invert, aabb, cfg, use_aabb)
 
-    # weights at the refs' own accuracy: the pallas engine's refs carry
-    # f32 precision, so f32 weights lose nothing and halve the bandwidth
-    # of every downstream gather/apply
+    # weights/refs at the engine's own accuracy: the pallas engine's refs
+    # carry f32 precision, so f32 storage loses nothing and halves the
+    # bandwidth of every downstream gather/apply
     w_dt = jnp.float32 if engine == "pallas" else ref_dt
+
+    def make_weights(refs, mask=None):
+        if not want_weights:
+            return None
+        w = gll.tensor_basis(order, refs.astype(w_dt))
+        if mask is not None:
+            w = jnp.where(mask[:, None], w, 0.0)
+        return w
 
     acc = st["acc_found"]
     if fallback == "sentinel":
@@ -277,8 +285,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
         refs = jnp.where(acc[:, None], st["acc_ref"],
                          jnp.zeros((C, d), ref_dt))
         found = acc
-        weights = gll.tensor_basis(order, refs.astype(w_dt))
-        weights = jnp.where(acc[:, None], weights, 0.0)
+        weights = make_weights(refs, acc)
     elif fallback == "snap":
         # snap_to_nearest=True (interpolator.py:1217-1230): clip the best
         # candidate's ref coords to +/- snap_clip.
@@ -286,7 +293,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
         elements = jnp.where(acc, st["acc_elem"], st["best_elem"])
         refs = jnp.where(acc[:, None], st["acc_ref"], snapped)
         found = jnp.ones((C,), bool)
-        weights = gll.tensor_basis(order, refs.astype(w_dt))
+        weights = make_weights(refs)
     elif fallback == "best":
         # C trilinear kernel semantics (trilinearinterpolator.c:113-137):
         # take the best-so-far candidate *unclipped* if its max |ref| is
@@ -297,8 +304,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
         refs = jnp.where(acc[:, None], st["acc_ref"],
                          jnp.where(ok[:, None], st["best_ref"], 0.0))
         found = acc | ok
-        weights = gll.tensor_basis(order, refs.astype(w_dt))
-        weights = jnp.where(found[:, None], weights, 0.0)
+        weights = make_weights(refs, found)
     elif fallback == "fixed_ref":
         # Reference _check_if_inside_element (interpolator.py:1448-1473):
         # fallback element = first candidate whose AABB contains the point,
@@ -316,10 +322,12 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
         elements = jnp.where(acc, st["acc_elem"], fb_elem)
         refs = jnp.where(acc[:, None], st["acc_ref"], fb_ref)
         found = jnp.ones((C,), bool)
-        weights = gll.tensor_basis(order, refs.astype(w_dt))
+        weights = make_weights(refs)
     else:
         raise ValueError(f"unknown fallback mode {fallback!r}")
-    return elements.astype(jnp.int32), refs, weights, found, acc
+    if weights is None:
+        weights = jnp.zeros((C, 0), w_dt)  # placeholder keeps pytree static
+    return elements.astype(jnp.int32), refs.astype(w_dt), weights, found, acc
 
 
 def locate(
@@ -336,6 +344,7 @@ def locate(
     chunk: int = 262_144,
     dtype=None,
     engine: str = "auto",
+    want_weights: bool = True,
 ) -> LocateResult:
     """Locate each query point in the source mesh and compute GLL weights.
 
@@ -426,6 +435,7 @@ def locate(
             pts_c, cand_c, elem_nodes, corners, (lo, hi),
             centering, nodes_c32, corners_c32,
             order, cfg, dtype, use_aabb, fallback, pm, engine, interpret,
+            want_weights,
         )
         return tuple(o[:n] for o in out)
 

@@ -259,6 +259,96 @@ class RegularGridData:
         return ds
 
 
+@dataclasses.dataclass
+class MeshDataset:
+    """Element-nodal mesh data with coordinates, optionally layer-masked.
+
+    Light-weight counterpart of the reference's mesh -> xarray.Dataset
+    export (reference utils.py:220-352): ``data`` maps parameter ->
+    [n_masked_elem, n_gll]; coordinates are either cartesian per-node
+    x/y/z arrays of the same shape or spherical radius/colatitude/
+    longitude; ``gll_order`` attribute matches the reference's.
+    """
+
+    data: dict
+    coords: dict
+    gll_order: int
+    coord_type: str
+
+    def __getitem__(self, name):
+        return self.data[name]
+
+    def to_xarray(self):  # pragma: no cover - xarray not in CI image
+        import xarray as xr
+
+        if self.coord_type == "cartesian":
+            dims = ["element", "point"]
+            coords = {
+                k: (dims, v) for k, v in self.coords.items()
+            }
+        else:
+            dims = ["element", "point"]
+            coords = {k: (dims, v) for k, v in self.coords.items()}
+        ds = xr.Dataset(
+            {k: (dims, v) for k, v in self.data.items()}, coords=coords
+        )
+        ds.attrs["gll_order"] = self.gll_order
+        return ds
+
+
+def create_dataset(
+    file,
+    layers="all",
+    parameters=("all",),
+    coords: str = "cartesian",
+) -> MeshDataset:
+    """Extract a (possibly layer-masked) dataset from a Salvus mesh file
+    (reference utils.py:220-256).
+
+    :param layers: layer ids or one of all/crust/mantle/core/nocore
+    :param parameters: parameter names, or ("all",) for every nodal field
+        except radius/z_node_1D
+    :param coords: "cartesian" (per-node x/y/z) or "spherical"
+        (radius from z_node_1D, colatitude, longitude)
+    """
+    from .io.salvus import SalvusMesh
+    from .ops.layers import mesh_layer_masks
+
+    mesh = file if hasattr(file, "element_nodal_fields") else SalvusMesh(
+        file, fast_mode=False
+    )
+    masks, layer_ids = mesh_layer_masks(mesh, layers)
+    mask = np.zeros(mesh.nelem, dtype=bool)
+    for m in masks.values():
+        mask |= m
+
+    params = list(parameters)
+    if params and params[0] == "all":
+        params = [
+            p
+            for p in mesh.element_nodal_fields
+            if p not in ("radius", "z_node_1D")
+        ]
+    data = {p: mesh.element_nodal_fields[p][mask] for p in params}
+    nodes = mesh.points[mask]
+    if coords == "cartesian":
+        coord_map = {
+            "x": nodes[..., 0], "y": nodes[..., 1], "z": nodes[..., 2],
+        }
+    elif coords == "spherical":
+        r = mesh.element_nodal_fields["z_node_1D"][mask] * R_EARTH_M
+        colat = np.arctan2(
+            np.sqrt(nodes[..., 0] ** 2 + nodes[..., 1] ** 2), nodes[..., 2]
+        )
+        lon = np.arctan2(nodes[..., 1], nodes[..., 0])
+        coord_map = {"radius": r, "colatitude": colat, "longitude": lon}
+    else:
+        raise ValueError(f"Coordinate type: {coords} is not supported")
+    gll_order = int(round(mesh.n_gll_points ** (1.0 / 3.0)) - 1)
+    return MeshDataset(data=data, coords=coord_map, gll_order=gll_order,
+                       coord_type=coords)
+
+
 def create_dataset_grid(lat, lon, depth) -> RegularGridData:
     """Empty regular-grid dataset (reference create_xarray_dataset,
     utils.py:619-646)."""
