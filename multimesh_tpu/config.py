@@ -57,9 +57,12 @@ class LocateConfig:
     # Newton iteration counts.  The reference runs up to 50 double-precision
     # iterations with early exit (trilinearinterpolator.c:264).  We run a
     # fixed, branchless schedule: `newton_iters` bulk iterations plus
-    # `polish_iters` at the accumulation dtype.
-    newton_iters: int = 20
-    polish_iters: int = 3
+    # `polish_iters` at the accumulation dtype.  `prefilter_iters` is the
+    # (cheaper) schedule used when the trilinear prefilter merely *ranks*
+    # candidates -- ranking needs far less precision than acceptance.
+    newton_iters: int = 16
+    polish_iters: int = 2
+    prefilter_iters: int = 8
 
     # Convergence tolerance, relative to element scale
     # (reference trilinearinterpolator.c:282: tol = 1e-8 * scale).

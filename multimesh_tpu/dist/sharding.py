@@ -59,6 +59,7 @@ def sharded_transfer(
     use_aabb: bool = False,
     mesh: Mesh | None = None,
     axis: str = "points",
+    engine: str = "auto",
 ):
     """Locate + interpolate with query points sharded across the mesh.
 
@@ -66,17 +67,32 @@ def sharded_transfer(
     Returns values [N, F] (gathered back to host order).  Semantics match
     search.locate with the same cfg/fallback (full candidate scan; the
     trilinear prefilter's host-side rescue pass is a single-chip
-    optimization and is skipped here).
+    optimization and is skipped here).  ``engine`` selects the per-shard
+    Newton backend exactly as in search.locate ("pallas" runs the fused
+    kernel on every chip; interpret mode on CPU meshes).
     """
+    from ..search.locate import default_engine
+    from ..search import pallas_newton as pn
+
     if mesh is None:
         mesh = make_mesh(axis=axis)
     n_dev = mesh.devices.size
+    if engine == "auto":
+        engine = default_engine()
+    interpret = False
+    if engine == "pallas":
+        try:
+            interpret = jax.devices()[0].platform == "cpu"
+        except Exception:
+            interpret = True
 
     points = np.asarray(points)
     N, d = points.shape
     k = min(cfg.nelem_to_search, elem_nodes.shape[0])
 
-    pad = (-N) % n_dev
+    # each shard's point count must be a multiple of the pallas BLOCK
+    quantum = n_dev * (pn.BLOCK if engine == "pallas" else 1)
+    pad = (-N) % quantum
     if pad:
         points = np.concatenate([points, np.tile(points[:1], (pad, 1))])
 
@@ -88,32 +104,54 @@ def sharded_transfer(
     lo = jnp.min(elem_nodes, axis=1)
     hi = jnp.max(elem_nodes, axis=1)
 
+    if engine == "pallas":
+        centers = 0.5 * (lo + hi)
+        scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
+        nodes_c32 = (
+            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        corners_c32 = (
+            (corners - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        ctr_hi = centers.astype(jnp.float32)
+        ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
+            jnp.float32
+        )
+        inv_scale = (1.0 / scales).astype(jnp.float32)
+        centering = (ctr_hi, ctr_lo, inv_scale)
+    else:
+        z = jnp.zeros((1,), jnp.float32)
+        centering = (z, z, z)
+        nodes_c32 = corners_c32 = z
+
     pts_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
     pts_dev = jax.device_put(jnp.asarray(points), pts_sharding)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(),
+                  (P(), P(), P()), P(), P()),
         out_specs=P(axis),
         check_rep=False,
     )
-    def _shard_fn(pts, nodes, crn, lo_, hi_, cen, ctr, flds):
+    def _shard_fn(pts, nodes, crn, lo_, hi_, cen, ctr, flds,
+                  centering_, nodes_c32_, corners_c32_):
         cand = _device_knn(pts - ctr, cen - ctr, k)
-        dummy = jnp.zeros((1,), jnp.float32)
         elements, refs, weights, found, _acc = _locate_chunk(
             pts, cand, nodes, crn, (lo_, hi_),
-            (dummy, dummy, dummy), dummy, dummy,
-            order, cfg, jnp.float32, use_aabb, fallback, 0, "xla", False,
+            centering_, nodes_c32_, corners_c32_,
+            order, cfg, jnp.float32, use_aabb, fallback, 0, engine,
+            interpret,
         )
         safe = jnp.maximum(elements, 0)
-        gathered = flds[:, safe, :]
+        gathered = flds[:, safe, :].astype(weights.dtype)
         vals = jnp.einsum("fnk,nk->nf", gathered, weights)
         return jnp.where((elements >= 0)[:, None], vals, 0.0)
 
     vals = _shard_fn(
-        pts_dev, elem_nodes, corners, lo, hi, centroids, center, fields
+        pts_dev, elem_nodes, corners, lo, hi, centroids, center, fields,
+        centering, nodes_c32, corners_c32,
     )
     vals = np.asarray(vals)
     return vals[:N] if pad else vals

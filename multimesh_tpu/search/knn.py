@@ -166,9 +166,17 @@ def knn(
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]
+        n = q.shape[0]
+        # pad the trailing chunk to a power of two so XLA compiles one
+        # kernel per bucket instead of one per distinct remainder size
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            q = jnp.concatenate(
+                [q, jnp.repeat(q[:1], bucket - n, axis=0)]
+            )
         d2, idx = _knn_jit(q, sources, k_eff, source_chunk, dtype)
-        out_d.append(d2)
-        out_i.append(idx)
+        out_d.append(d2[:n])
+        out_i.append(idx[:n])
     d2 = jnp.concatenate(out_d, axis=0) if len(out_d) > 1 else out_d[0]
     idx = jnp.concatenate(out_i, axis=0) if len(out_i) > 1 else out_i[0]
     if k_eff < k:  # fewer sources than requested: repeat last column

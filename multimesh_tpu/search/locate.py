@@ -240,7 +240,7 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
     ref_dt = points.dtype
 
     cfg1 = dataclasses.replace(
-        cfg, newton_iters=max(10, cfg.newton_iters // 2)
+        cfg, newton_iters=cfg.prefilter_iters, polish_iters=0
     )
     if engine == "pallas":
         invert = _make_pallas_invert(points, nodes_c32, centering,

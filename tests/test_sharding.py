@@ -32,6 +32,21 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(vals[:, 0], expected, rtol=1e-9, atol=1e-12)
 
 
+def test_sharded_pallas_engine(rng):
+    """The fused kernel runs per shard (interpret mode on the CPU mesh)
+    and matches the xla shard path."""
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=2, warp=0.1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(200, 3))
+    cfg = LocateConfig(nelem_to_search=6, newton_iters=8, polish_iters=1)
+    dev_mesh = make_mesh()
+    v_xla = sharded_transfer(pts, mesh.points, field[None], order=2,
+                             cfg=cfg, mesh=dev_mesh, engine="xla")
+    v_pl = sharded_transfer(pts, mesh.points, field[None], order=2,
+                            cfg=cfg, mesh=dev_mesh, engine="pallas")
+    np.testing.assert_allclose(v_pl, v_xla, rtol=1e-5, atol=1e-7)
+
+
 def test_sharded_multi_field_snap(rng):
     mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
     f1 = mmt.element_nodal_field(mesh, "smooth")
