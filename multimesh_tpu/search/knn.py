@@ -162,6 +162,9 @@ def knn(
     E = sources.shape[0]
     N = queries.shape[0]
     k_eff = min(k, E)
+    # bound the [query_chunk, E] coarse-distance buffer to ~2 GB
+    max_rows = max(8_192, (1 << 29) // max(E, 1))
+    query_chunk = min(query_chunk, max_rows)
 
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..config import LocateConfig, DEFAULT_LOCATE, FALLBACK_REF_COORD
 from ..core import gll, shape
-from .knn import knn as _knn
+from .grid import knn_any as _knn
 from . import pallas_newton as pn
 
 # residual threshold (unit-element frame) separating converged f32 Newton

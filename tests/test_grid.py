@@ -1,0 +1,72 @@
+"""Grid-binned two-level candidate search vs exact kNN."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import cKDTree
+
+from multimesh_tpu import testing as mmt
+from multimesh_tpu.search import build_grid, grid_knn, knn_any
+
+
+def test_grid_matches_exact_uniform(rng):
+    src = rng.uniform(-1, 1, size=(20000, 3))
+    q = rng.uniform(-0.9, 0.9, size=(500, 3))
+    idx_exact = cKDTree(src).query(q, k=10)[1]
+    index = build_grid(src)
+    d2, idx = grid_knn(index, q, 10)
+    d_mine = np.linalg.norm(src[np.asarray(idx)] - q[:, None], axis=-1)
+    d_ref = np.linalg.norm(src[idx_exact] - q[:, None], axis=-1)
+    np.testing.assert_allclose(d_mine, d_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_grid_on_shell_centroids(rng):
+    mesh = mmt.shell_mesh(n_lat=12, n_lon=16, n_rad=6, order=1)
+    cents = mesh.centroids()
+    r = rng.uniform(3.6e6, 6.3e6, 300)
+    th = rng.uniform(0.55, 1.15, 300)
+    ph = rng.uniform(0.35, 1.35, 300)
+    q = np.stack([r * np.sin(th) * np.cos(ph),
+                  r * np.sin(th) * np.sin(ph), r * np.cos(th)], -1)
+    index = build_grid(cents, target_per_cell=16)
+    d2, idx = grid_knn(index, q, 8)
+    d_ref = cKDTree(cents).query(q, k=8)[0]
+    d_mine = np.linalg.norm(cents[np.asarray(idx)] - q[:, None], axis=-1)
+    np.testing.assert_allclose(d_mine, d_ref, rtol=1e-5, atol=1.0)
+
+
+def test_knn_any_dispatch(rng):
+    # small -> exact; check both produce valid ascending results
+    src = rng.uniform(0, 1, size=(500, 3))
+    q = rng.uniform(0, 1, size=(100, 3))
+    d2, idx = knn_any(src, q, 5)
+    assert np.all(np.diff(np.asarray(d2), axis=1) >= -1e-12)
+
+    src = rng.uniform(0, 1, size=(40000, 3))  # above grid threshold
+    d2, idx = knn_any(src, q, 5)
+    d_ref = cKDTree(src).query(q, k=5)[0]
+    d_mine = np.sqrt(np.maximum(np.asarray(d2), 0))
+    np.testing.assert_allclose(d_mine, d_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_locate_on_large_mesh_grid_path(rng):
+    """End-to-end locate through the grid candidate path (E > threshold)."""
+    from multimesh_tpu.search import locate
+    from multimesh_tpu.search import grid as grid_mod
+
+    old = grid_mod.EXACT_KNN_MAX_SOURCES
+    grid_mod.EXACT_KNN_MAX_SOURCES = 100  # force the grid path
+    try:
+        mesh = mmt.box_mesh(shape=(8, 8, 8), order=1, warp=0.05)
+        field = mmt.element_nodal_field(mesh, "smooth")
+        pts = rng.uniform(0.05, 0.95, size=(400, 3))
+        res = locate(pts, mesh.points, order=1, fallback="sentinel")
+        assert np.asarray(res.found).all()
+        vals = np.einsum(
+            "pn,pn->p", np.asarray(res.weights),
+            field[np.asarray(res.elements)],
+        )
+        truth = mmt.smooth_field(pts)
+        # order-1 (trilinear) discretization accuracy on an 8^3 mesh
+        np.testing.assert_allclose(vals, truth, atol=3e-2)
+    finally:
+        grid_mod.EXACT_KNN_MAX_SOURCES = old
