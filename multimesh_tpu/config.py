@@ -64,6 +64,12 @@ class LocateConfig:
     polish_iters: int = 2
     prefilter_iters: int = 8
 
+    # When the trilinear prefilter is active, only the nearest
+    # `prefilter_pool` candidates enter the ranking (the rescue pass
+    # re-scans the full candidate list for any point the pool failed to
+    # accept, so recall is preserved at full k).
+    prefilter_pool: int = 12
+
     # Convergence tolerance, relative to element scale
     # (reference trilinearinterpolator.c:282: tol = 1e-8 * scale).
     newton_rtol: float = 1e-8

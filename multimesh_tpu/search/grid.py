@@ -221,18 +221,50 @@ def _fingerprint(sources) -> tuple:
     return (sources.shape, str(sources.dtype), sample)
 
 
-def knn_any(sources, queries, k: int, **kw):
+def spatial_order(sources) -> np.ndarray:
+    """Permutation placing spatially adjacent sources at adjacent indices
+    (concatenated members of the median-split bins, whose DFS order walks
+    the domain like a space-filling curve)."""
+    index = build_grid(sources, target_per_cell=32)
+    elems = np.asarray(index.bin_elems)
+    valid = np.asarray(index.bin_valid)
+    return elems[valid].astype(np.int64)
+
+
+def knn_any(sources, queries, k: int, exact: bool = True, **kw):
     """Candidate search dispatcher: exact matmul kNN for small source
     sets, balanced-bin two-level search beyond EXACT_KNN_MAX_SOURCES.
     Grid indices are cached by a content fingerprint so repeated
-    transfers against the same mesh skip the host build."""
+    transfers against the same mesh skip the host build.
+
+    ``exact=False`` re-orders sources along the median-split curve first
+    (cached permutation) and uses search.knn's relaxed group selection.
+    Measured on shell meshes this still loses enough candidate recall to
+    push transfer errors to ~1e-3, so the locate engine uses exact mode;
+    the relaxed path remains for workloads that tolerate approximate
+    neighbor sets.
+    """
     sources = jnp.asarray(sources)
-    if sources.shape[0] <= EXACT_KNN_MAX_SOURCES:
-        return _exact_knn(sources, queries, k)
+    E = sources.shape[0]
+    if E <= EXACT_KNN_MAX_SOURCES:
+        if exact:
+            return _exact_knn(sources, queries, k, exact=True)
+        key = ("perm",) + _fingerprint(sources)
+        entry = _INDEX_CACHE.get(key)
+        if entry is None:
+            if len(_INDEX_CACHE) > 16:
+                _INDEX_CACHE.clear()
+            perm = spatial_order(sources)
+            entry = (jnp.asarray(perm, jnp.int32),
+                     jnp.asarray(np.asarray(sources)[perm]))
+            _INDEX_CACHE[key] = entry
+        perm_j, src_perm = entry
+        d2, idx_p = _exact_knn(src_perm, queries, k, exact=False)
+        return d2, perm_j[idx_p]
     key = _fingerprint(sources)
     index = _INDEX_CACHE.get(key)
     if index is None:
-        if len(_INDEX_CACHE) > 8:
+        if len(_INDEX_CACHE) > 16:
             _INDEX_CACHE.clear()
         index = build_grid(sources)
         _INDEX_CACHE[key] = index

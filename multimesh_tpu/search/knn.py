@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_GROUP = 16  # min-pool group size for two-stage top-k
+_GROUP = 8  # min-pool group size for two-stage top-k
 
 
 def _pad_rows(x, size, value):
@@ -59,11 +59,17 @@ def _top_groups(neg_d2, n_keep: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "source_chunk", "dtype")
+    jax.jit, static_argnames=("k", "source_chunk", "dtype", "exact")
 )
-def _knn_jit(queries64, sources64, k: int, source_chunk: int, dtype):
-    """Fully-jitted exact kNN: coarse f32 two-stage ranking with streaming
-    source chunks + exact full-precision re-rank of k + pad candidates."""
+def _knn_jit(queries64, sources64, k: int, source_chunk: int, dtype,
+             exact: bool = True):
+    """Fully-jitted kNN: coarse f32 two-stage ranking with streaming
+    source chunks + full-precision re-rank of the winning groups' members.
+
+    ``exact=True`` keeps k+2 groups (guaranteed exact top-k).
+    ``exact=False`` keeps ~k/G+2 groups; ONLY sound when the source
+    ordering is spatial (groups are index-order slices), so it is opt-in
+    and unused by default."""
     E = sources64.shape[0]
     center = jnp.mean(sources64, axis=0)
     src_c = sources64 - center
@@ -86,7 +92,11 @@ def _knn_jit(queries64, sources64, k: int, source_chunk: int, dtype):
     # contributes a group with best <= its distance; +2 margin is free).
     # When the mesh has fewer groups than that, keep all of them -- the
     # member pool is then E_pad >= E >= k.
-    n_keep = min(k + 2, E_pad // G)
+    if exact:
+        n_keep = min(k + 2, E_pad // G)
+    else:
+        n_keep = min(max(int(np.ceil(k / G)) + 2, 4), E_pad // G)
+        n_keep = max(n_keep, int(np.ceil(k / G)))  # member pool >= k
     # constant far-away pad (f32-safe square): real centered coords are
     # bounded by data extents << 1e15
     src = _pad_rows(src, E_pad, 1e15 if dtype == jnp.float32 else 1e100)
@@ -150,8 +160,10 @@ def knn(
     source_chunk: int = 4_096,
     dtype=jnp.float32,
     refine_pad: int = 8,  # kept for API compat; pad is k+8 internally
+    exact: bool = True,
 ):
-    """Exact k nearest sources for each query point.
+    """k nearest sources for each query point (exact by default; see
+    _knn_jit for the relaxed candidate-generation mode).
 
     sources [E, d], queries [N, d] (numpy or jax arrays, any float dtype).
     Returns (dist2 [N, k] float, idx [N, k] int32), ascending by distance.
@@ -177,7 +189,7 @@ def knn(
             q = jnp.concatenate(
                 [q, jnp.repeat(q[:1], bucket - n, axis=0)]
             )
-        d2, idx = _knn_jit(q, sources, k_eff, source_chunk, dtype)
+        d2, idx = _knn_jit(q, sources, k_eff, source_chunk, dtype, exact)
         out_d.append(d2[:n])
         out_i.append(idx[:n])
     d2 = jnp.concatenate(out_d, axis=0) if len(out_d) > 1 else out_d[0]

@@ -119,7 +119,10 @@ def _make_pallas_invert(points, nodes_c32, centering, order, cfg,
         res = res_t.reshape(C)
         conv = res < _F32_CONV_TOL
         maxabs = jnp.max(jnp.abs(ref), axis=-1)
-        return ref.astype(points.dtype), conv, maxabs
+        # refs stay f32: the scan state carries the engine's native
+        # precision (f64 state would make every per-candidate where()
+        # update emulated on TPU)
+        return ref, conv, maxabs
 
     return invert
 
@@ -127,15 +130,18 @@ def _make_pallas_invert(points, nodes_c32, centering, order, cfg,
 # ---------------------------------------------------------------------------
 # Candidate scan with first-accept / best-so-far / AABB / nearest state
 # ---------------------------------------------------------------------------
-def _scan_candidates(points, cand, invert, aabb, cfg, use_aabb: bool):
+def _scan_candidates(points, cand, invert, aabb, cfg, use_aabb: bool,
+                     ref_dt=None):
     """Scan K candidates in distance order, carrying per-point state.
 
     points [C, d]; cand [C, K] int; invert: ids -> (ref, conv, maxabs);
-    aabb (lo [E, d], hi [E, d]).
+    aabb (lo [E, d], hi [E, d]); ref_dt = dtype of the carried ref-coord
+    state (the invert backend's output dtype).
     """
     C, d = points.shape
     K = cand.shape[1]
-    ref_dt = points.dtype
+    if ref_dt is None:
+        ref_dt = points.dtype
 
     def body(carry, k):
         (acc_found, acc_ref, acc_elem,
@@ -184,7 +190,7 @@ def _scan_candidates(points, cand, invert, aabb, cfg, use_aabb: bool):
         if use_aabb:
             lo, hi = aabb
             center = 0.5 * (lo[ids] + hi[ids])
-            dist = jnp.sum((points - center) ** 2, axis=-1)
+            dist = jnp.sum((points - center) ** 2, axis=-1).astype(ref_dt)
             nearer = dist < near_d
             near_d = jnp.where(nearer, dist, near_d)
             near_ref = jnp.where(nearer[:, None], ref, near_ref)
@@ -260,9 +266,16 @@ def _locate_chunk(points, cand, elem_nodes, elem_corners, aabb,
         )
 
     if prefilter_m and prefilter_m < cand.shape[1] and order > 1:
-        cand = _prefilter_rank(cand, invert1, prefilter_m, cand.shape[1])
+        # only the nearest prefilter_pool candidates enter the trilinear
+        # ranking; the rescue pass re-scans the full list for any point
+        # this pool fails to accept
+        pool = min(max(cfg.prefilter_pool, prefilter_m), cand.shape[1])
+        cand = _prefilter_rank(cand[:, :pool], invert1, prefilter_m, pool)
 
-    st = _scan_candidates(points, cand, invert, aabb, cfg, use_aabb)
+    st = _scan_candidates(
+        points, cand, invert, aabb, cfg, use_aabb,
+        ref_dt=jnp.float32 if engine == "pallas" else points.dtype,
+    )
 
     # weights/refs at the engine's own accuracy: the pallas engine's refs
     # carry f32 precision, so f32 storage loses nothing and halves the

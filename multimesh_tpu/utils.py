@@ -117,6 +117,19 @@ def rotate_mesh(mesh, event_loc, backwards: bool = False):
     return rot
 
 
+def load_exodus(file, find_centroids: bool = True):
+    """Open an Exodus mesh, optionally with element centroids ready for
+    candidate search (reference utils.py:191-203, whose KDTree there is
+    replaced by the device search -- the centroids array plugs directly
+    into search.knn / ops.TransferOperator.build(centroids=...))."""
+    from .io.exodus import Exodus
+
+    exo = Exodus(file)
+    if find_centroids:
+        return exo, exo.get_element_centroid()
+    return exo
+
+
 # -- great-circle sampling ------------------------------------------------
 def greatcircle_points(
     point_1_lat: float,
