@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import LocateConfig, DEFAULT_LOCATE
 from ..core import gll
@@ -30,6 +30,12 @@ from ..search.locate import _locate_chunk
 def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} jax devices are available "
+                f"({[d.platform for d in devices]})"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
@@ -133,7 +139,7 @@ def sharded_transfer(
         in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(),
                   (P(), P(), P()), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def _shard_fn(pts, nodes, crn, lo_, hi_, cen, ctr, flds,
                   centering_, nodes_c32_, corners_c32_):
