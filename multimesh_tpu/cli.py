@@ -45,9 +45,7 @@ def cli(platform):
     if platform and platform != "auto":
         import jax
 
-        jax.config.update(
-            "jax_platforms", "cpu" if platform == "cpu" else None
-        )
+        jax.config.update("jax_platforms", platform)
 
 
 @cli.command()

@@ -29,6 +29,7 @@ from .io import exodus as eio
 from .io import salvus as sio
 from .ops import (
     TransferOperator,
+    content_fingerprint,
     map_to_sphere,
     mesh_layer_masks,
     repair_fluid_solid,
@@ -99,10 +100,13 @@ def gll_2_gll(
         uniq, recon = unique_points(new_points)
 
         op = None
+        fp = content_fingerprint(src_points, uniq)
         if stored_array and TransferOperator.exists(stored_array):
-            op = TransferOperator.load(stored_array)
-            if op.n_points != uniq.shape[0]:
-                op = None  # stale cache for a different mesh
+            try:
+                op = TransferOperator.load(stored_array, fingerprint=fp)
+            except ValueError as exc:
+                print(f"Ignoring stored operator: {exc}")
+                op = None
         if op is None:
             op = TransferOperator.build(
                 src_points,
@@ -114,7 +118,7 @@ def gll_2_gll(
                 prefilter_m=PREFILTER_M,
             )
             if stored_array:
-                op.save(stored_array)
+                op.save(stored_array, fingerprint=fp)
 
         fields = np.moveaxis(src_data, 1, 0)  # [P, E, n]
         vals_u = op.apply(fields)  # [U, P]
@@ -164,17 +168,24 @@ def _layered_operators(
         else None
     )
     ops: Dict[str, TransferOperator] = {}
+    fp = content_fingerprint(original_mesh.points, new_mesh.points)
     if cache_path and os.path.exists(cache_path):
         with h5py.File(cache_path, "r") as f:
-            for layer in uniq:
-                op = TransferOperator(
-                    elements=f[f"elements/{layer}"][()].astype(np.int32),
-                    order=original_mesh.shape_order,
-                    recon=uniq[layer][1],
+            if int(f.attrs.get("fingerprint", 0)) != fp:
+                print(
+                    f"Ignoring stored interp_info at {cache_path}: built "
+                    "from different geometry"
                 )
-                op.weights = f[f"coeffs/{layer}"][()]
-                ops[layer] = op
-        return ops, src_masks, tgt_masks
+            else:
+                for layer in uniq:
+                    op = TransferOperator(
+                        elements=f[f"elements/{layer}"][()].astype(np.int32),
+                        order=original_mesh.shape_order,
+                        recon=uniq[layer][1],
+                    )
+                    op.weights = f[f"coeffs/{layer}"][()]
+                    ops[layer] = op
+                return ops, src_masks, tgt_masks
 
     order = original_mesh.shape_order
     for layer in uniq:
@@ -192,6 +203,7 @@ def _layered_operators(
     if cache_path:
         os.makedirs(str(stored_array), exist_ok=True)
         with h5py.File(cache_path, "w") as f:
+            f.attrs["fingerprint"] = np.uint64(fp)
             for layer, op in ops.items():
                 f.create_dataset(f"coeffs/{layer}", data=op.weights)
                 f.create_dataset(f"elements/{layer}", data=op.elements)

@@ -1,4 +1,4 @@
-from .transfer import TransferOperator  # noqa: F401
+from .transfer import TransferOperator, content_fingerprint  # noqa: F401
 from .dedup import unique_points, unique_points_per_layer  # noqa: F401
 from .layers import (  # noqa: F401
     resolve_layers,

@@ -39,8 +39,7 @@ def repair_fluid_solid(
         vs_index = parameters.index("VSV")
     else:
         return new_values
-    zero_vs_elems = np.unique(np.where(new_values[:, vs_index, :] == 0.0)[0])
-    for e in zero_vs_elems:
-        if solid_elements[e]:
-            new_values[e] = old_values[e]
+    zero_vs = (new_values[:, vs_index, :] == 0.0).any(axis=1)
+    revert = zero_vs & solid_elements
+    new_values[revert] = old_values[revert]
     return new_values

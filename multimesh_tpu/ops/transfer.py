@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import os
 import pathlib
 from typing import Union
@@ -30,6 +31,22 @@ from ..config import LocateConfig, DEFAULT_LOCATE
 from ..search.locate import locate as _locate
 
 PathLike = Union[str, pathlib.Path]
+
+
+def content_fingerprint(*arrays) -> int:
+    """64-bit content hash of host arrays (shape + dtype + every byte).
+
+    Used to tie a saved transfer operator to the exact source/target
+    geometry it was built from: two different meshes with equal point
+    counts must never reuse each other's cached weights (the reference's
+    name-only .npy caches have exactly that failure mode)."""
+    h = hashlib.blake2b(digest_size=8)
+    for a in arrays:
+        a = np.ascontiguousarray(np.asarray(a))
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return int.from_bytes(h.digest(), "little")
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -188,10 +205,12 @@ class TransferOperator:
         return out[:, 0] if single else out
 
     # -- persistence ------------------------------------------------------
-    def save(self, directory: PathLike):
+    def save(self, directory: PathLike, fingerprint: int | None = None):
         """Persist as elements.npy / coeffs.npy (+ recon.npy), the same
         file names the reference uses for its stored_array caches
-        (reference interpolator.py:800-810)."""
+        (reference interpolator.py:800-810).  ``fingerprint`` (see
+        content_fingerprint) is stored in meta.npy so ``load`` can refuse
+        a cache built from different geometry."""
         directory = str(directory)
         os.makedirs(directory, exist_ok=True)
         np.save(os.path.join(directory, "elements.npy"),
@@ -200,14 +219,21 @@ class TransferOperator:
                 np.asarray(self.weights))  # materializes from refs
         np.save(
             os.path.join(directory, "meta.npy"),
-            np.array([self.order], dtype=np.int64),
+            np.array([self.order, 0 if fingerprint is None else fingerprint],
+                     dtype=np.uint64),
         )
         if self.recon is not None:
             np.save(os.path.join(directory, "recon.npy"),
                     np.asarray(self.recon))
 
     @classmethod
-    def load(cls, directory: PathLike) -> "TransferOperator":
+    def load(cls, directory: PathLike,
+             fingerprint: int | None = None) -> "TransferOperator":
+        """Load a saved operator.  When ``fingerprint`` is given, the
+        cache must carry the same value (saved from the same source and
+        target geometry) -- a cache without one, or with a different one,
+        raises ValueError so callers rebuild instead of silently applying
+        another mesh's weights."""
         directory = str(directory)
         elements = np.load(os.path.join(directory, "elements.npy"))
         weights = np.load(os.path.join(directory, "coeffs.npy"))
@@ -215,11 +241,20 @@ class TransferOperator:
             # reference refuses NaN-infested caches (interpolator.py:735-740)
             raise ValueError(f"stored coeffs at {directory} contain NaNs")
         meta_path = os.path.join(directory, "meta.npy")
+        stored_fp = None
         if os.path.exists(meta_path):
-            order = int(np.load(meta_path)[0])
+            meta = np.load(meta_path)
+            order = int(meta[0])
+            if meta.shape[0] > 1 and int(meta[1]) != 0:
+                stored_fp = int(np.asarray(meta, np.uint64)[1])
         else:
             dim = 3
             order = int(round(weights.shape[1] ** (1 / dim))) - 1
+        if fingerprint is not None and stored_fp != fingerprint:
+            raise ValueError(
+                f"stored operator at {directory} was built from different "
+                f"geometry (fingerprint {stored_fp} != {fingerprint})"
+            )
         recon_path = os.path.join(directory, "recon.npy")
         recon = np.load(recon_path) if os.path.exists(recon_path) else None
         op = cls(elements=elements.astype(np.int32), order=order,

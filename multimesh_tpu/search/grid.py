@@ -211,14 +211,33 @@ def grid_knn(
 _INDEX_CACHE: dict = {}
 
 
+@jax.jit
+def _checksum_jit(x):
+    """Order-sensitive 2x32-bit content hash over every element of x,
+    computed on device (pulling whole coordinate buffers through the
+    slow host tunnel just to hash them would dwarf the index build)."""
+    x32 = x.astype(jnp.float32)
+    parts = [x32.ravel()]
+    if x.dtype == jnp.float64:
+        # low residual restores the bits the f32 cast drops
+        parts.append((x - x32.astype(x.dtype)).astype(jnp.float32).ravel())
+    hs = []
+    for v in parts:
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        i = jnp.arange(b.shape[0], dtype=jnp.uint32)
+        hs.append(jnp.sum((b ^ (i * jnp.uint32(2654435761)))
+                          * jnp.uint32(2246822519)))
+        hs.append(jnp.sum((b + i * jnp.uint32(40503))
+                          * jnp.uint32(3266489917)))
+    return jnp.stack(hs)
+
+
 def _fingerprint(sources) -> tuple:
-    """Cheap content key: shape + a handful of sampled coordinates.
-    Distinct meshes collide with negligible probability; same-mesh
-    centroids recomputed per call still hit the cache."""
-    E = sources.shape[0]
-    step = max(1, E // 7)
-    sample = np.asarray(sources[::step][:8]).tobytes()
-    return (sources.shape, str(sources.dtype), sample)
+    """Full-content key: shape/dtype + device-side checksum of every
+    coordinate (a sampled key could silently reuse a stale index for a
+    mesh modified in place)."""
+    sums = tuple(int(v) for v in np.asarray(_checksum_jit(sources)))
+    return (sources.shape, str(sources.dtype), sums)
 
 
 def spatial_order(sources) -> np.ndarray:

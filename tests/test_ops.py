@@ -47,6 +47,71 @@ def test_transfer_operator_roundtrip(tmp_path, rng):
     assert not TransferOperator.exists(tmp_path / "nope")
 
 
+def test_transfer_operator_fingerprint(tmp_path, rng):
+    """A cache saved for one mesh must be refused for a same-size other
+    mesh (the reference's name-only .npy caches silently reuse it)."""
+    from multimesh_tpu.ops import content_fingerprint
+
+    src_a = mmt.box_mesh(shape=(2, 2, 2), order=2, warp=0.05)
+    src_b = mmt.box_mesh(shape=(2, 2, 2), order=2, warp=0.11)
+    pts = rng.uniform(0.2, 0.8, size=(40, 3))
+
+    fp_a = content_fingerprint(src_a.points, pts)
+    fp_b = content_fingerprint(src_b.points, pts)
+    assert fp_a != fp_b
+
+    op = TransferOperator.build(src_a.points, pts, order=2)
+    op.save(tmp_path / "cache", fingerprint=fp_a)
+    # matching fingerprint loads fine
+    TransferOperator.load(tmp_path / "cache", fingerprint=fp_a)
+    # different geometry with identical shapes is refused
+    with pytest.raises(ValueError, match="different geometry"):
+        TransferOperator.load(tmp_path / "cache", fingerprint=fp_b)
+    # a cache saved without a fingerprint is refused when one is expected
+    op.save(tmp_path / "nofp")
+    with pytest.raises(ValueError, match="different geometry"):
+        TransferOperator.load(tmp_path / "nofp", fingerprint=fp_a)
+    # loading without expectations still works (back-compat)
+    TransferOperator.load(tmp_path / "nofp")
+
+
+def test_gll_2_gll_rejects_stale_cache(tmp_path):
+    """End-to-end: gll_2_gll with stored_array rebuilds when the cache
+    came from different geometry of equal size (proved by poisoning the
+    cached coefficients -- a silently reused cache would emit garbage)."""
+    import h5py
+    from multimesh_tpu import engine
+
+    src = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+    tgt = mmt.shell_mesh(n_lat=4, n_lon=3, n_rad=2, order=2)
+
+    a = tmp_path / "a.h5"
+    b1 = tmp_path / "b1.h5"
+    mmt.write_salvus_fixture(a, src, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(b1, tgt, parameters=("VP", "VS"))
+    cache = tmp_path / "op_cache"
+    engine.gll_2_gll(a, b1, stored_array=cache)
+
+    # poison the cached weights; only a rebuild can now give sane values
+    coeffs = np.load(cache / "coeffs.npy")
+    np.save(cache / "coeffs.npy", np.full_like(coeffs, 1e6))
+
+    # same-shape source, perturbed geometry: fingerprint must mismatch
+    src2 = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+    src2.points *= 1.0001
+    a2 = tmp_path / "a2.h5"
+    b2 = tmp_path / "b2.h5"
+    mmt.write_salvus_fixture(a2, src2, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(b2, tgt, parameters=("VP", "VS"))
+    engine.gll_2_gll(a2, b2, stored_array=cache)
+    with h5py.File(b2, "r") as f:
+        out = np.asarray(f["MODEL/data"][()])
+    truth = mmt.element_nodal_field(tgt, "smooth")
+    # interpolated VP tracks the analytic field => operator was rebuilt
+    rel = np.abs(out[:, 0, :] - truth) / np.abs(truth)
+    assert np.median(rel) < 1e-2
+
+
 def test_transfer_operator_nan_cache_rejected(tmp_path):
     src = mmt.box_mesh(shape=(2, 2, 2), order=1)
     pts = np.full((5, 3), 0.5)
