@@ -151,6 +151,66 @@ def _knn_jit(queries64, sources64, k: int, source_chunk: int, dtype,
     return -neg.astype(sources64.dtype), idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "recall"))
+def _approx_knn_jit(queries64, sources_perm64, perm, k: int, recall: float):
+    """TPU-fast candidate search via ``jax.lax.approx_max_k``.
+
+    approx_max_k's PartialReduce keeps at most one member per hardware
+    bin, so sources must be *randomly permuted* first (``perm``):
+    spatially ordered meshes put true neighbors in the same bin and lose
+    them systematically (measured: 7% of points lose their enclosing
+    element with identity order vs 0.03% with a random permutation).
+    The true nearest source always survives (it is the max of its bin).
+    Callers must pair this with a rescue path for the residual misses
+    (search.locate's ladder re-runs exact kNN for unaccepted points).
+    """
+    center = jnp.mean(sources_perm64, axis=0)
+    c32 = (sources_perm64 - center).astype(jnp.float32)
+    q32 = (queries64 - center).astype(jnp.float32)
+    neg = 2.0 * (q32 @ c32.T) - jnp.sum(c32 * c32, axis=-1)[None, :]
+    vals, idx = jax.lax.approx_max_k(neg, k, recall_target=recall)
+    d2 = jnp.sum(q32 * q32, axis=-1, keepdims=True) - vals
+    return d2.astype(queries64.dtype), perm[idx]
+
+
+def approx_knn(
+    sources_perm,
+    perm,
+    queries,
+    k: int,
+    *,
+    recall: float = 0.95,
+    query_chunk: int = 262_144,
+):
+    """Approximate k nearest sources (see _approx_knn_jit; ~4x faster
+    than the exact two-stage kNN on v5e).  ``sources_perm`` must be
+    ``sources[perm]`` for a random permutation ``perm`` (callers cache
+    both; see grid.knn_any)."""
+    sources_perm = jnp.asarray(sources_perm)
+    queries = jnp.asarray(queries)
+    perm = jnp.asarray(perm, jnp.int32)
+    E = sources_perm.shape[0]
+    k_eff = min(k, E)
+    N = queries.shape[0]
+    out_d, out_i = [], []
+    for start in range(0, N, query_chunk):
+        q = queries[start : start + query_chunk]
+        n = q.shape[0]
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            q = jnp.concatenate([q, jnp.repeat(q[:1], bucket - n, axis=0)])
+        d2, idx = _approx_knn_jit(q, sources_perm, perm, k_eff, recall)
+        out_d.append(d2[:n])
+        out_i.append(idx[:n])
+    d2 = jnp.concatenate(out_d) if len(out_d) > 1 else out_d[0]
+    idx = jnp.concatenate(out_i) if len(out_i) > 1 else out_i[0]
+    if k_eff < k:
+        reps = k - k_eff
+        d2 = jnp.concatenate([d2, jnp.repeat(d2[:, -1:], reps, 1)], axis=1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps, 1)], axis=1)
+    return d2, idx
+
+
 def knn(
     sources,
     queries,

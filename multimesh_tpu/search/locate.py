@@ -64,6 +64,67 @@ class LocateResult:
     found: jnp.ndarray
 
 
+_PREP_CACHE: dict = {}
+
+
+@functools.partial(jax.jit, static_argnames=("order", "d", "pallas"))
+def _mesh_prep_jit(elem_nodes, order, d, pallas):
+    corners = elem_nodes[:, np.asarray(gll.corner_indices(order, d))]
+    lo = jnp.min(elem_nodes, axis=1)
+    hi = jnp.max(elem_nodes, axis=1)
+    out = {
+        "corners": corners,
+        "lo": lo,
+        "hi": hi,
+        "centroids": jnp.mean(elem_nodes, axis=1),
+    }
+    if pallas:
+        # per-element centering/scale in full precision, stored once;
+        # the kernel consumes exact-to-f32 unit-frame geometry, and the
+        # per-candidate point centering uses a split-f32 representation
+        # of the centers (see _make_pallas_invert / _pallas_invert_rows)
+        centers = 0.5 * (lo + hi)
+        scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
+        nodes_c32 = (
+            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        corners_c32 = (
+            (corners - centers[:, None, :]) / scales[:, None, None]
+        ).astype(jnp.float32)
+        ctr_hi = centers.astype(jnp.float32)
+        ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
+            jnp.float32
+        )
+        inv_scale = (1.0 / scales).astype(jnp.float32)
+        out["centering"] = (ctr_hi, ctr_lo, inv_scale)
+        out["nodes_c32"] = nodes_c32
+        out["corners_c32"] = corners_c32
+    else:
+        z = jnp.zeros((1,), jnp.float32)
+        out["centering"] = (z, z, z)
+        out["nodes_c32"] = z
+        out["corners_c32"] = z
+    return out
+
+
+def _mesh_prep(elem_nodes, order: int, d: int, engine: str) -> dict:
+    """Derived per-mesh geometry (corners, AABBs, centroids, f32
+    unit-frame node lattices), cached by content fingerprint: the f64
+    centering arithmetic is emulated (slow) on TPU and identical across
+    the many locate() calls a transfer or layered run makes against one
+    mesh."""
+    from .grid import _fingerprint
+
+    key = (_fingerprint(elem_nodes), order, engine == "pallas")
+    prep = _PREP_CACHE.get(key)
+    if prep is None:
+        if len(_PREP_CACHE) > 8:
+            _PREP_CACHE.clear()
+        prep = _mesh_prep_jit(elem_nodes, order, d, engine == "pallas")
+        _PREP_CACHE[key] = prep
+    return prep
+
+
 def default_engine() -> str:
     """pallas on real accelerators, xla on CPU hosts."""
     try:
@@ -125,6 +186,240 @@ def _make_pallas_invert(points, nodes_c32, centering, order, cfg,
         return ref, conv, maxabs
 
     return invert
+
+
+# ---------------------------------------------------------------------------
+# Batched-rows pallas invert + the rescue-ladder locate (TPU fast path)
+# ---------------------------------------------------------------------------
+def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
+                        iters, clamp, interpret):
+    """One fused gather+transpose+Newton over arbitrary (point, element)
+    row pairs: p_hi/p_lo [M, d] split-f32 point coords, ids [M] int32 ->
+    (ref [M, d] f32, conv [M] bool, maxabs [M] f32).
+
+    This is the ladder's workhorse: candidates are batched into the ROW
+    axis instead of scanned sequentially, so the ~6 ms fixed cost of a
+    gather+layout-transpose+kernel-launch step (measured v5e, 131k rows)
+    is amortized over all candidates of a round instead of paid K times.
+    M is padded to the pallas BLOCK internally.  Points arrive as the
+    split-f32 pair (computed once per chunk) so no f64 arithmetic --
+    emulated and slow on TPU -- appears in any per-round op.
+    """
+    M = p_hi.shape[0]
+    Mp = int(np.ceil(M / pn.BLOCK) * pn.BLOCK)
+    if Mp != M:
+        p_hi = jnp.concatenate(
+            [p_hi, jnp.repeat(p_hi[:1], Mp - M, axis=0)]
+        )
+        p_lo = jnp.concatenate(
+            [p_lo, jnp.repeat(p_lo[:1], Mp - M, axis=0)]
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((Mp - M,), ids.dtype)]
+        )
+    ctr_hi, ctr_lo, inv_scale = centering
+    diff = (p_hi - ctr_hi[ids]) + (p_lo - ctr_lo[ids])
+    p_c = diff * inv_scale[ids][:, None]
+    R = Mp // pn._LANES
+    p_t = jnp.transpose(p_c, (1, 0)).reshape(dim, R, pn._LANES)
+    nk = nodes_c32[ids]
+    n_t = jnp.transpose(nk, (1, 2, 0)).reshape(
+        nk.shape[1], dim, R, pn._LANES
+    )
+    refs_t, res_t = pn.newton_refs(
+        n_t, p_t, order, dim, iters=iters, clamp=clamp,
+        interpret=interpret,
+    )
+    ref = jnp.transpose(refs_t.reshape(dim, Mp), (1, 0))[:M]
+    res = res_t.reshape(Mp)[:M]
+    return ref, res < _F32_CONV_TOL, jnp.max(jnp.abs(ref), axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "cfg", "fallback", "use_aabb", "interpret",
+                     "want_weights", "exact_rescue", "n_valid"),
+)
+def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
+                  order, cfg, fallback, use_aabb, interpret, want_weights,
+                  exact_rescue, n_valid=None):
+    """Escalation-ladder point location (device-only, one jit).
+
+    Round 1 runs the full-order Newton on every point's NEAREST candidate
+    only; points it fails to accept are compacted (jnp.nonzero, no host
+    sync) into shrinking static buckets and retried with the next
+    candidate columns; a final bucket re-runs an EXACT kNN (recovering
+    any candidates an approximate search dropped) and scans all K
+    columns.  First-accept-in-distance-order semantics are identical to
+    the sequential scan for every rescued point; points beyond the
+    rescue capacity (only plausible when most points lie outside the
+    mesh) fall back on the best candidate evaluated so far, which for
+    exterior points is the nearest-centroid element the reference's
+    snap fallback would typically pick anyway.
+    """
+    C, d = points.shape
+    K = cand.shape[1]
+    iters = cfg.newton_iters + cfg.polish_iters
+    # split-f32 point coordinates, computed once: every per-round op
+    # below is pure f32 (f64 is emulated on TPU)
+    pts_hi = points.astype(jnp.float32)
+    pts_lo = (points - pts_hi.astype(points.dtype)).astype(jnp.float32)
+
+    def eval_rows(hi_rows, lo_rows, ids):
+        ref, conv, maxabs = _pallas_invert_rows(
+            hi_rows, lo_rows, ids, nodes_c32, centering, order, d, iters,
+            cfg.newton_clamp, interpret,
+        )
+        valid = conv
+        if use_aabb:
+            blo, bhi = aabb
+            blo32 = blo.astype(jnp.float32)[ids]
+            bhi32 = bhi.astype(jnp.float32)[ids]
+            # f32-appropriate slack (face points must not be excluded by
+            # rounding; accept_tol has far more slack than this anyway)
+            eps = 1e-6 * (bhi32 - blo32)
+            inside = jnp.all(
+                (hi_rows >= blo32 - eps) & (hi_rows <= bhi32 + eps),
+                axis=-1,
+            )
+            accepted = valid & inside & (maxabs < cfg.accept_tol)
+        else:
+            accepted = valid & (maxabs < cfg.accept_tol)
+        score = jnp.where(conv, maxabs, jnp.inf)
+        return ref, accepted, score
+
+    # ---- round 1: nearest candidate, all points -----------------------
+    ids0 = cand[:, 0]
+    ref0, acc0, score0 = eval_rows(pts_hi, pts_lo, ids0)
+    elem, ref, acc = ids0, ref0, acc0
+    best_max, best_ref, best_elem = score0, ref0, ids0
+
+    def rescue(state, cand_cols, idx):
+        """Retry still-unaccepted points (rows ``idx``, priority order)
+        on candidate columns ``cand_cols`` [B, r], with
+        first-accept-in-column-order semantics.  Rows already accepted
+        (priority padding) are left untouched."""
+        elem, ref, acc, best_max, best_ref, best_elem = state
+        B_, r = cand_cols.shape
+        flat_hi = jnp.tile(pts_hi[idx], (r, 1))
+        flat_lo = jnp.tile(pts_lo[idx], (r, 1))
+        flat_ids = cand_cols.T.reshape(r * B_)
+        refs_f, acc_f, score_f = eval_rows(flat_hi, flat_lo, flat_ids)
+        refs_r = refs_f.reshape(r, B_, d)
+        acc_r = acc_f.reshape(r, B_)
+        score_r = score_f.reshape(r, B_)
+        ids_r = cand_cols.T  # [r, B]
+
+        was = acc[idx]  # rows that were already accepted: no updates
+        fi = jnp.argmax(acc_r, axis=0)  # first accepting column
+        any_acc = jnp.any(acc_r, axis=0) & ~was
+        sel_ref = jnp.take_along_axis(refs_r, fi[None, :, None], 0)[0]
+        sel_elem = jnp.take_along_axis(ids_r, fi[None, :], 0)[0]
+
+        bi = jnp.argmin(score_r, axis=0)
+        b_score = jnp.take_along_axis(score_r, bi[None, :], 0)[0]
+        b_ref = jnp.take_along_axis(refs_r, bi[None, :, None], 0)[0]
+        b_elem = jnp.take_along_axis(ids_r, bi[None, :], 0)[0]
+
+        elem = elem.at[idx].set(jnp.where(any_acc, sel_elem, elem[idx]))
+        ref = ref.at[idx].set(
+            jnp.where(any_acc[:, None], sel_ref, ref[idx])
+        )
+        acc = acc.at[idx].set(any_acc | was)
+        cur_bmax = best_max[idx]
+        better = (b_score < cur_bmax) & ~was
+        best_max = best_max.at[idx].set(
+            jnp.where(better, b_score, cur_bmax)
+        )
+        best_ref = best_ref.at[idx].set(
+            jnp.where(better[:, None], b_ref, best_ref[idx])
+        )
+        best_elem = best_elem.at[idx].set(
+            jnp.where(better, b_elem, best_elem[idx])
+        )
+        return elem, ref, acc, best_max, best_ref, best_elem
+
+    def failure_order(state):
+        """All point indices, hardest-to-dismiss failures first:
+        unaccepted points ordered by their best max |ref| so far
+        (near-boundary interior stragglers sort before far-exterior
+        points and cannot be crowded out of the rescue buckets), diverged
+        points in between, accepted points and bucket-padding rows
+        last."""
+        acc_, bmax = state[2], state[3]
+        key = jnp.where(
+            acc_, jnp.inf, jnp.where(jnp.isfinite(bmax), bmax, 1.5)
+        )
+        if n_valid is not None and n_valid < C:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+            key = jnp.where(rows >= n_valid, jnp.inf, key)
+        return jnp.argsort(key)
+
+    state = (elem, ref, acc, best_max, best_ref, best_elem)
+    # ---- round 2: next 3 candidates for the C/4 most-promising failures
+    if K > 1:
+        B = max(C // 4, min(C, 256))
+        idx = failure_order(state)[:B]
+        state = rescue(state, cand[idx][:, 1:min(4, K)], idx)
+    # ---- round 3: candidates 4..11 for the C/8 most-promising failures
+    if K > 4:
+        B = max(C // 8, min(C, 256))
+        idx = failure_order(state)[:B]
+        state = rescue(state, cand[idx][:, 4:min(12, K)], idx)
+    # ---- round 4: exact kNN re-search for the C/32 hardest failures ---
+    # (restores full recall when the candidate list came from the
+    # approximate search, and covers the tail of the k-candidate budget)
+    if exact_rescue:
+        from .knn import _knn_jit
+
+        B = max(C // 32, min(C, 128))
+        idx = failure_order(state)[:B]
+        k_full = min(int(cfg.nelem_to_search), centroids.shape[0])
+        _, cand4 = _knn_jit(points[idx], centroids, k_full, 4096,
+                            jnp.float32, True)
+        state = rescue(state, cand4, idx)
+    elif K > 12:
+        B = max(C // 32, min(C, 128))
+        idx = failure_order(state)[:B]
+        state = rescue(state, cand[idx][:, 12:K], idx)
+
+    elem, ref, acc, best_max, best_ref, best_elem = state
+
+    # ---- fallback assembly (same semantics as the sequential scan) ----
+    def make_weights(refs, mask=None):
+        if not want_weights:
+            return None
+        w = gll.tensor_basis(order, refs.astype(jnp.float32))
+        if mask is not None:
+            w = jnp.where(mask[:, None], w, 0.0)
+        return w
+
+    if fallback == "sentinel":
+        elements = jnp.where(acc, elem, -1)
+        refs = jnp.where(acc[:, None], ref, jnp.zeros((C, d), ref.dtype))
+        found = acc
+        weights = make_weights(refs, acc)
+    elif fallback == "snap":
+        snapped = jnp.clip(best_ref, -cfg.snap_clip, cfg.snap_clip)
+        elements = jnp.where(acc, elem, best_elem)
+        refs = jnp.where(acc[:, None], ref, snapped)
+        found = jnp.ones((C,), bool)
+        weights = make_weights(refs)
+    elif fallback == "best":
+        ok = best_max < cfg.fallback_max
+        elements = jnp.where(acc, elem, jnp.where(ok, best_elem, -1))
+        refs = jnp.where(acc[:, None], ref,
+                         jnp.where(ok[:, None], best_ref, 0.0))
+        found = acc | ok
+        weights = make_weights(refs, found)
+    else:
+        raise ValueError(
+            f"ladder does not support fallback mode {fallback!r}"
+        )
+    if weights is None:
+        weights = jnp.zeros((C, 0), jnp.float32)
+    return (elements.astype(jnp.int32), refs.astype(jnp.float32),
+            weights, found, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +653,7 @@ def locate(
     dtype=None,
     engine: str = "auto",
     want_weights: bool = True,
+    strategy: str = "auto",
 ) -> LocateResult:
     """Locate each query point in the source mesh and compute GLL weights.
 
@@ -369,6 +665,15 @@ def locate(
     rescue pass for points it fails to accept).  ``candidates`` [N, K] may
     be passed to skip the internal kNN (e.g. layered paths with per-layer
     trees).  ``engine``: "auto" | "xla" | "pallas".
+
+    ``strategy``: "auto" | "ladder" | "scan".  The ladder (see
+    _ladder_chunk) is the TPU fast path -- one batched Newton on the
+    nearest candidate plus compacted rescue rounds, ~4x faster than the
+    sequential candidate scan with identical accept semantics for every
+    rescued point.  "auto" selects it whenever the pallas engine is
+    active and the fallback mode is one the ladder implements
+    ("fixed_ref" keeps the scan, which tracks the extra AABB/nearest
+    state that mode needs).
     """
     points = jnp.asarray(points)
     elem_nodes = jnp.asarray(elem_nodes)
@@ -391,44 +696,39 @@ def locate(
             else elem_nodes.dtype
         )
 
+    use_ladder = (
+        strategy in ("auto", "ladder")
+        and engine == "pallas"
+        and fallback in ("sentinel", "snap", "best")
+    )
+    if strategy == "ladder" and not use_ladder:
+        raise ValueError(
+            "strategy='ladder' requires the pallas engine and a "
+            "sentinel/snap/best fallback mode"
+        )
+
+    prep = _mesh_prep(elem_nodes, order, d, engine)
+    if centroids is None:
+        centroids = prep["centroids"]
     if candidates is None:
-        if centroids is None:
-            centroids = jnp.mean(elem_nodes, axis=1)
         k = min(cfg.nelem_to_search, elem_nodes.shape[0])
-        _, candidates = _knn(centroids, points, k)
+        # the ladder's exact-kNN rescue round restores any candidates the
+        # approximate search drops AND re-searches with the full
+        # nelem_to_search budget, so the fast path can run approximate
+        # with a smaller k (candidates beyond ~12 almost never accept
+        # first; the rescue covers the tail)
+        use_approx = use_ladder and not interpret
+        if use_approx:
+            k = min(k, 12)
+        _, candidates = _knn(centroids, points, k, approx=use_approx)
     candidates = jnp.asarray(candidates)
 
-    corners = elem_nodes[:, np.asarray(gll.corner_indices(order, d))]
-    lo = jnp.min(elem_nodes, axis=1)
-    hi = jnp.max(elem_nodes, axis=1)
-
-    if engine == "pallas":
-        # per-element centering/scale in full precision, stored once;
-        # the kernel consumes exact-to-f32 unit-frame geometry, and the
-        # per-candidate point centering uses a split-f32 representation
-        # of the centers (see _make_pallas_invert)
-        centers = 0.5 * (lo + hi)
-        scales = jnp.maximum(
-            0.5 * jnp.max(hi - lo, axis=-1), 1e-30
-        )
-        nodes_c32 = (
-            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
-        ).astype(jnp.float32)
-        corners_c32 = (
-            (corners - centers[:, None, :]) / scales[:, None, None]
-        ).astype(jnp.float32)
-        ctr_hi = centers.astype(jnp.float32)
-        ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
-            jnp.float32
-        )
-        inv_scale = (1.0 / scales).astype(jnp.float32)
-        centering = (ctr_hi, ctr_lo, inv_scale)
-        min_bucket = pn.BLOCK
-    else:
-        z = jnp.zeros((1,), jnp.float32)
-        centering = (z, z, z)
-        nodes_c32 = corners_c32 = z
-        min_bucket = 1
+    corners = prep["corners"]
+    lo, hi = prep["lo"], prep["hi"]
+    centering = prep["centering"]
+    nodes_c32 = prep["nodes_c32"]
+    corners_c32 = prep["corners_c32"]
+    min_bucket = pn.BLOCK if engine == "pallas" else 1
 
     def run_chunk(pts_c, cand_c, pm):
         # Pad every chunk to a power-of-two row count so XLA compiles one
@@ -444,12 +744,22 @@ def locate(
             cand_c = jnp.concatenate(
                 [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
             )
-        out = _locate_chunk(
-            pts_c, cand_c, elem_nodes, corners, (lo, hi),
-            centering, nodes_c32, corners_c32,
-            order, cfg, dtype, use_aabb, fallback, pm, engine, interpret,
-            want_weights,
-        )
+        if use_ladder:
+            from .grid import EXACT_KNN_MAX_SOURCES
+
+            out = _ladder_chunk(
+                pts_c, cand_c, centroids, nodes_c32, centering, (lo, hi),
+                order, cfg, fallback, use_aabb, interpret, want_weights,
+                elem_nodes.shape[0] <= EXACT_KNN_MAX_SOURCES,
+                n_valid=n,
+            )
+        else:
+            out = _locate_chunk(
+                pts_c, cand_c, elem_nodes, corners, (lo, hi),
+                centering, nodes_c32, corners_c32,
+                order, cfg, dtype, use_aabb, fallback, pm, engine,
+                interpret, want_weights,
+            )
         return tuple(o[:n] for o in out)
 
     outs = []
@@ -465,7 +775,7 @@ def locate(
         found = jnp.concatenate([o[3] for o in outs])
         accepted = jnp.concatenate([o[4] for o in outs])
 
-    if prefilter_m and prefilter_m < candidates.shape[1]:
+    if prefilter_m and prefilter_m < candidates.shape[1] and not use_ladder:
         # Rescue pass: the trilinear prefilter can mis-rank candidates on
         # strongly curved elements (the linear geometry is a poor proxy
         # there), so any point whose prefiltered candidates were never

@@ -161,3 +161,43 @@ def test_locate_2d(rng):
     # order-4 interpolation of a smooth field on a warped 3x3 mesh:
     # discretization-level agreement only
     np.testing.assert_allclose(mine, truth, atol=5e-3)
+
+
+@pytest.mark.parametrize("fallback", ["sentinel", "snap", "best"])
+def test_locate_ladder_matches_scan(fallback, rng):
+    """The escalation ladder (TPU fast path; interpret mode here) must
+    reproduce the sequential scan's accept set and values, including
+    exterior points exercising the rescue rounds and fallback modes."""
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    n = 160
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    pts[: n // 6] *= 1.5  # exterior points exercise rescue + fallback
+    scan = locate(pts, mesh.points, order=2, fallback=fallback,
+                  engine="pallas", strategy="scan")
+    lad = locate(pts, mesh.points, order=2, fallback=fallback,
+                 engine="pallas", strategy="ladder")
+    np.testing.assert_array_equal(
+        np.asarray(scan.found), np.asarray(lad.found)
+    )
+    # interpolated values agree wherever both found the point (element
+    # choices may differ on shared faces -- both are valid accepts)
+    both = np.asarray(scan.found)
+    vs = _interp(scan, field)[both]
+    vl = _interp(lad, field)[both]
+    np.testing.assert_allclose(vl, vs, rtol=5e-5)
+    same = np.asarray(scan.elements) == np.asarray(lad.elements)
+    assert np.mean(same[both]) > 0.95
+
+
+def test_locate_ladder_strategy_validation():
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
+    pts = np.full((8, 3), 0.5)
+    with pytest.raises(ValueError):
+        locate(pts, mesh.points, order=1, fallback="fixed_ref",
+               engine="pallas", strategy="ladder")
