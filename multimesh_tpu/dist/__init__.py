@@ -1,1 +1,6 @@
-from .sharding import make_mesh, sharded_transfer  # noqa: F401
+from .sharding import (  # noqa: F401
+    make_mesh,
+    sharded_transfer,
+    source_sharded_transfer,
+    partition_source,
+)

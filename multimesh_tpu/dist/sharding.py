@@ -2,14 +2,25 @@
 
 The reference's only parallelism is single-host process pools chunking the
 point loop (reference multi_mesh/components/interpolator.py:1239-1254).
-The TPU-native equivalent shards the query-point axis across chips with
-``shard_map`` over a 1-D ``jax.sharding.Mesh``; the source mesh geometry
-and fields are replicated per chip (a 1M-element order-4 source is ~1.5 GB
-in f32 -- comfortably resident), so the entire pipeline
-(kNN -> Newton locate -> gather+einsum apply) runs independently per shard
-with zero collectives in steady state and only the initial broadcast on
-ICI.  Source-sharded operation with cell-bin halo exchange is the planned
-extension for sources that exceed a chip's HBM.
+Two TPU-native schemes, both ``shard_map`` over a 1-D
+``jax.sharding.Mesh``:
+
+* ``sharded_transfer`` -- query points sharded, source geometry and
+  fields REPLICATED per chip (a 1M-element order-4 source is ~1.5 GB in
+  f32, comfortably resident): the entire pipeline (kNN -> Newton locate
+  -> gather+einsum apply) runs independently per shard with zero
+  collectives in steady state.
+
+* ``source_sharded_transfer`` -- for sources that exceed a chip's HBM:
+  source elements are split into spatially compact shards (contiguous
+  runs of the median-split bin curve, balanced by element count), each
+  query point is routed to the shard owning its nearest bin, and
+  location runs in two passes: a local try against the shard's own
+  elements resolves the vast majority; the residual misses (points whose
+  enclosing element lives across a shard boundary) are compacted,
+  ``all_gather``-ed over ICI, retried by EVERY chip against its local
+  elements, and combined by best max|ref| -- the conservative version of
+  the cell-bin halo exchange in SURVEY.md section 7.5.
 """
 from __future__ import annotations
 
@@ -161,3 +172,242 @@ def sharded_transfer(
     )
     vals = np.asarray(vals)
     return vals[:N] if pad else vals
+
+
+# ---------------------------------------------------------------------------
+# Source-sharded transfer (two-pass local-try -> all_gather global-retry)
+# ---------------------------------------------------------------------------
+def partition_source(elem_nodes, n_shards: int):
+    """Split source elements into spatially compact, size-balanced shards.
+
+    Contiguous runs of the median-split bin curve (search.grid) are
+    assigned to shards by cumulative element count, so each shard is a
+    compact region of the domain and shard sizes differ by at most one
+    bin.  Returns (shard_elem_ids: list of [E_s] int arrays in global
+    ids, bin_reps [n_bins, d] f32 centered, rep_center [d], bin_shard
+    [n_bins] int32) -- the bin data doubles as the query-routing table.
+    """
+    from ..search.grid import build_grid
+
+    cents = np.asarray(jnp.mean(jnp.asarray(elem_nodes), axis=1))
+    index = build_grid(cents, target_per_cell=32)
+    elems = np.asarray(index.bin_elems)
+    counts = np.asarray(index.bin_counts)
+    csum = np.cumsum(counts) - counts
+    per = max(1.0, counts.sum() / n_shards)
+    bin_shard = np.minimum((csum / per).astype(np.int64),
+                           n_shards - 1).astype(np.int32)
+    shard_elem_ids = []
+    for s in range(n_shards):
+        sel = np.where(bin_shard == s)[0]
+        ids = np.concatenate(
+            [elems[i, : counts[i]] for i in sel]
+        ) if sel.size else np.zeros((0,), np.int32)
+        shard_elem_ids.append(ids.astype(np.int64))
+    return shard_elem_ids, index.bin_reps32, index.center, bin_shard
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _route_points_jit(points, bin_reps32, center, bin_shard):
+    q32 = (points - center).astype(jnp.float32)
+    d2 = (
+        jnp.sum(q32 * q32, axis=-1, keepdims=True)
+        - 2.0 * (q32 @ bin_reps32.T)
+        + jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :]
+    )
+    return bin_shard[jnp.argmin(d2, axis=1)]
+
+
+def source_sharded_transfer(
+    points,
+    elem_nodes,
+    fields,
+    order: int,
+    cfg: LocateConfig = DEFAULT_LOCATE,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "shards",
+    engine: str = "auto",
+    retry_frac: int = 4,
+):
+    """Locate + interpolate with SOURCE ELEMENTS sharded across the mesh
+    (for sources too large to replicate per chip).
+
+    points [N, d]; elem_nodes [E, (p+1)^d, d]; fields [F, E, (p+1)^d].
+    Returns values [N, F] in input order (zero where a point could not
+    be located anywhere -- sentinel semantics).
+
+    Pass 1: each query point runs on the chip owning its nearest source
+    bin; the local kNN + Newton scan resolves everything whose enclosing
+    element is shard-local.  Pass 2: each chip compacts its first
+    P/``retry_frac`` unresolved points, ``all_gather``s them over ICI,
+    relocates ALL chips' misses against its local elements, and the
+    per-point winner (min max|ref| across chips) is selected
+    identically on every chip from the all_gathered scores.
+    """
+    from ..search.locate import default_engine
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    else:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if engine == "auto":
+        engine = default_engine()
+    interpret = False
+    if engine == "pallas":
+        try:
+            interpret = jax.devices()[0].platform == "cpu"
+        except Exception:
+            interpret = True
+
+    points = np.asarray(points)
+    elem_nodes = jnp.asarray(elem_nodes)
+    fields = jnp.asarray(fields)
+    N, d = points.shape
+    F = fields.shape[0]
+    n_nodes = elem_nodes.shape[1]
+    k = min(cfg.nelem_to_search, elem_nodes.shape[0])
+
+    # ---- host-side partition + routing --------------------------------
+    shard_ids, bin_reps32, rep_center, bin_shard = partition_source(
+        elem_nodes, n_dev
+    )
+    owner = np.asarray(_route_points_jit(
+        jnp.asarray(points), bin_reps32, rep_center,
+        jnp.asarray(bin_shard),
+    ))
+    perm_p = np.argsort(owner, kind="stable")
+    counts_p = np.bincount(owner, minlength=n_dev)
+
+    from ..search import pallas_newton as pn
+
+    quantum = pn.BLOCK if engine == "pallas" else 8
+    Pp = int(np.ceil(max(counts_p.max(), 1) / quantum) * quantum)
+    B = max(Pp // retry_frac, min(Pp, 64))
+
+    pts_sh = np.zeros((n_dev, Pp, d))
+    pts_sh[:] = points[perm_p[0]]  # pad rows: any valid coordinate
+    starts = np.concatenate([[0], np.cumsum(counts_p)])
+    for s in range(n_dev):
+        rows = perm_p[starts[s] : starts[s + 1]]
+        pts_sh[s, : counts_p[s]] = points[rows]
+
+    Ep = int(max(max(len(ids) for ids in shard_ids), k))
+    nodes_sh = np.full((n_dev, Ep, n_nodes, d), 1e14)
+    gmap = np.full((n_dev, Ep), -1, np.int32)
+    fields_sh = np.zeros((n_dev, F, Ep, n_nodes), np.asarray(fields).dtype)
+    host_nodes = np.asarray(elem_nodes)
+    host_fields = np.asarray(fields)
+    for s in range(n_dev):
+        ids = shard_ids[s]
+        nodes_sh[s, : len(ids)] = host_nodes[ids]
+        gmap[s, : len(ids)] = ids
+        fields_sh[s, :, : len(ids)] = host_fields[:, ids]
+
+    corner_idx = np.asarray(gll.corner_indices(order, d))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _shard_fn(pts_s, nodes_s, gmap_s, fields_s):
+        pts = pts_s[0]          # [P, d]
+        nodes = nodes_s[0]      # [Ep, n, d]
+        gm = gmap_s[0]          # [Ep]
+        flds = fields_s[0]      # [F, Ep, n]
+        me = jax.lax.axis_index(axis)
+
+        corners = nodes[:, corner_idx]
+        lo = jnp.min(nodes, axis=1)
+        hi = jnp.max(nodes, axis=1)
+        cents = jnp.mean(nodes, axis=1)
+        ctr = jnp.sum(
+            jnp.where((gm >= 0)[:, None], cents, 0.0), axis=0
+        ) / jnp.maximum(jnp.sum(gm >= 0), 1)
+
+        if engine == "pallas":
+            centers = 0.5 * (lo + hi)
+            scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
+            nodes_c32 = (
+                (nodes - centers[:, None, :]) / scales[:, None, None]
+            ).astype(jnp.float32)
+            corners_c32 = (
+                (corners - centers[:, None, :]) / scales[:, None, None]
+            ).astype(jnp.float32)
+            ctr_hi = centers.astype(jnp.float32)
+            ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
+                jnp.float32
+            )
+            inv_scale = (1.0 / scales).astype(jnp.float32)
+            centering = (ctr_hi, ctr_lo, inv_scale)
+        else:
+            z = jnp.zeros((1,), jnp.float32)
+            centering = (z, z, z)
+            nodes_c32 = corners_c32 = z
+
+        def locate_rows(rows):
+            cand = _device_knn(rows - ctr, cents - ctr, k)
+            elements, refs, weights, found, _ = _locate_chunk(
+                rows, cand, nodes, corners, (lo, hi),
+                centering, nodes_c32, corners_c32,
+                order, cfg, jnp.float32, False, "best", 0, engine,
+                interpret,
+            )
+            # max|ref| of the chosen candidate: comparable across chips
+            score = jnp.max(jnp.abs(refs), axis=-1)
+            score = jnp.where(found, score, jnp.inf)
+            # padding elements can never really accept, but guard anyway
+            score = jnp.where(gm[jnp.maximum(elements, 0)] >= 0,
+                              score, jnp.inf)
+            safe = jnp.maximum(elements, 0)
+            vals = jnp.einsum(
+                "fnk,nk->nf", flds[:, safe, :].astype(weights.dtype),
+                weights,
+            )
+            acc = score < cfg.accept_tol
+            return acc, score, gm[safe], vals
+
+        # ---- pass 1: local try ---------------------------------------
+        acc1, _, gel1, vals1 = locate_rows(pts)
+
+        # ---- pass 2: all_gather the compacted misses ------------------
+        order_p = jnp.argsort(acc1)  # False (misses) first, stable
+        idx = order_p[:B]
+        was = acc1[idx]
+        all_miss = jax.lax.all_gather(pts[idx], axis)  # [D, B, d]
+        DB = all_miss.shape[0] * B
+        flat = all_miss.reshape(DB, d)
+        acc2, score2, gel2, vals2 = locate_rows(flat)
+        g_score = jax.lax.all_gather(score2, axis)  # [D, DB]
+        g_vals = jax.lax.all_gather(vals2, axis)    # [D, DB, F]
+        winner = jnp.argmin(g_score, axis=0)        # [DB]
+        w_score = jnp.take_along_axis(g_score, winner[None, :], 0)[0]
+        w_vals = jnp.take_along_axis(
+            g_vals, winner[None, :, None], 0
+        )[0]
+        mine = jax.lax.dynamic_slice_in_dim(w_vals, me * B, B, 0)
+        mine_ok = jax.lax.dynamic_slice_in_dim(
+            w_score < cfg.accept_tol, me * B, B, 0
+        )
+        upd = mine_ok & ~was
+        vals = jnp.where(acc1[:, None], vals1, 0.0)
+        vals = vals.at[idx].set(
+            jnp.where(upd[:, None], mine, vals[idx])
+        )
+        found = acc1.at[idx].set(acc1[idx] | mine_ok)
+        return vals[None], found[None]
+
+    vals_sh, found_sh = _shard_fn(
+        jnp.asarray(pts_sh), jnp.asarray(nodes_sh), jnp.asarray(gmap),
+        jnp.asarray(fields_sh),
+    )
+    vals_sh = np.asarray(vals_sh)
+    out = np.zeros((N, F))
+    for s in range(n_dev):
+        rows = perm_p[starts[s] : starts[s + 1]]
+        out[rows] = vals_sh[s, : counts_p[s]]
+    return out

@@ -16,58 +16,81 @@ and core (SURVEY.md "hard parts" item 2), which makes uniform-grid bin
 occupancy unbounded, while median splits guarantee bin size by
 construction.
 
+TPU layout notes (the stage-2 design):
+
+* member coordinates are stored PER BIN, planar, split-f32:
+  ``bin_coords6 [n_bins, 6, m]`` (xyz hi + xyz lo along dim 1, member
+  slot on the minor axis).  Probing then gathers p whole-bin rows per
+  query -- ~1.5 KB contiguous rows, the same shape of gather the locate
+  engine already drives at full speed -- instead of per-element rows of
+  3 floats, whose minor-dim-3 layout lane-pads 42x on TPU (the round-1
+  "[X, 3] OOM").
+* all probed members are scored in ONE shot ([C, p*m] distances) and
+  selected with a single top-k (``approx_max_k`` on TPU), replacing the
+  round-1 design's p sequential top_k merges that made the grid path
+  2.3x slower than exact kNN at E=41k.
+
 Recall: with ``n_probe`` bins per point the true nearest elements of
 well-shaped meshes are covered; the locate engine's acceptance ladder adds
-a second safety net (a missed non-enclosing candidate is irrelevant, and
-points whose candidates all fail acceptance go through the rescue /
-fallback paths).  For guaranteed-exact search use search.knn; ``knn_any``
-dispatches on source count.
+a second safety net (its rescue rounds re-probe with 4x the bins for any
+point whose candidates all fail acceptance).  For guaranteed-exact search
+use search.knn; ``knn_any`` dispatches on source count.
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
+import weakref
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .knn import knn as _exact_knn, approx_knn as _approx_knn
-from .knn import _top_groups, _GROUP
 
-# Sources below this count use the exact matmul kNN.  Measured on v5e
-# (2M queries): exact wins up to ~100k sources (its O(N*E) matmul is
-# MXU-cheap and it needs no index build); the grid path's per-point cost
-# is independent of E, so it takes over where the quadratic term and the
-# [chunk, E] distance buffer start to dominate.
+# Sources below this count use the exact matmul kNN on the exact route.
+# Measured on v5e (2M queries): exact wins up to ~100k sources (its
+# O(N*E) matmul is MXU-cheap and it needs no index build).
 EXACT_KNN_MAX_SOURCES = 131_072
+
+# On the approximate route (locate ladder) the grid path takes over much
+# earlier: approx_max_k still sweeps the full [chunk, E] distance matrix,
+# while the grid's per-point cost is independent of E.
+APPROX_GRID_MIN_SOURCES = 16_384
 
 
 @dataclasses.dataclass
 class GridIndex:
-    """Balanced bin->element lists.
+    """Balanced bin->element lists with TPU-friendly member storage.
 
-    bin_reps   [n_bins, d]  representative point per bin (member mean)
-    bin_elems  [n_bins, m]  member element ids (padded with repeats)
-    bin_valid  [n_bins, m]  member mask
-    sources    [E, d]       the binned points (element centroids)
+    bin_reps32  [n_bins, d]    centered f32 representative per bin
+    center      [d]            the centering offset (full precision)
+    bin_elems   [n_bins, m]    member element ids (padding repeats slot 0)
+    bin_coords6 [n_bins, 2d, m] centered split-f32 member coords, planar
+                               (d hi rows then d lo rows; padding slots
+                               hold 1e15 so they never rank)
+    bin_counts  [n_bins]       true member count per bin
+    sources     [E, d]         the binned points (element centroids)
     """
 
-    bin_reps: jnp.ndarray
+    bin_reps32: jnp.ndarray
+    center: jnp.ndarray
     bin_elems: jnp.ndarray
-    bin_valid: jnp.ndarray
+    bin_coords6: jnp.ndarray
+    bin_counts: np.ndarray
     sources: jnp.ndarray
 
     @property
     def n_bins(self) -> int:
-        return self.bin_reps.shape[0]
+        return self.bin_reps32.shape[0]
 
     @property
     def members_per_bin(self) -> int:
         return self.bin_elems.shape[1]
 
 
-def build_grid(centroids, target_per_cell: int = 32) -> GridIndex:
+def build_grid(centroids, target_per_cell: int = 128) -> GridIndex:
     """Median-split balanced binning (host-side, one-time, O(E log E))."""
     cents = np.asarray(centroids, np.float64)
     E, d = cents.shape
@@ -87,94 +110,96 @@ def build_grid(centroids, target_per_cell: int = 32) -> GridIndex:
         stack.append(idx[part[half:]])
 
     n_bins = len(bins)
-    m = max(len(b) for b in bins)
+    m = target_per_cell
+    center = cents.mean(axis=0)
+    cents_c = cents - center
+    hi = cents_c.astype(np.float32)
+    lo = (cents_c - hi.astype(np.float64)).astype(np.float32)
+
     elems = np.zeros((n_bins, m), np.int32)
-    valid = np.zeros((n_bins, m), bool)
-    reps = np.zeros((n_bins, d))
+    coords6 = np.empty((n_bins, 2 * d, m), np.float32)
+    coords6[:, :d, :] = 1e15  # padding slots rank last
+    coords6[:, d:, :] = 0.0
+    counts = np.zeros(n_bins, np.int32)
+    reps = np.zeros((n_bins, d), np.float32)
     for i, b in enumerate(bins):
         c = len(b)
         elems[i, :c] = b
-        valid[i, :c] = True
-        elems[i, c:] = b[0]
-        reps[i] = cents[b].mean(axis=0)
+        elems[i, c:] = b[0] if c else 0
+        counts[i] = c
+        coords6[i, :d, :c] = hi[b].T
+        coords6[i, d:, :c] = lo[b].T
+        reps[i] = hi[b].mean(axis=0)
     return GridIndex(
-        bin_reps=jnp.asarray(reps),
+        bin_reps32=jnp.asarray(reps),
+        center=jnp.asarray(center),
         bin_elems=jnp.asarray(elems),
-        bin_valid=jnp.asarray(valid),
+        bin_coords6=jnp.asarray(coords6),
+        bin_counts=counts,
         sources=jnp.asarray(cents),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_probe"))
-def _grid_query(bin_reps, bin_elems, bin_valid, sources, queries,
-                k: int, n_probe: int):
-    center = jnp.mean(bin_reps, axis=0)
-    reps32 = (bin_reps - center).astype(jnp.float32)
+def _center_queries(queries, center):
     q64 = queries - center
     q32 = q64.astype(jnp.float32)
     q_lo = (q64 - q32.astype(q64.dtype)).astype(jnp.float32)
-    src64 = sources - center
-    src32 = src64.astype(jnp.float32)
-    src_lo = (src64 - src32.astype(src64.dtype)).astype(jnp.float32)
+    return q32, q_lo
 
-    # stage 1: rank bins -- small matmul, then the same grouped two-stage
-    # selection as the exact kNN (top_k over the full bin axis is the
-    # dominant cost otherwise)
-    n_bins = bin_reps.shape[0]
-    pad_bins = int(np.ceil(n_bins / _GROUP) * _GROUP)
-    reps_p = jnp.pad(reps32, ((0, pad_bins - n_bins), (0, 0)),
-                     constant_values=1e15)
-    d2c = (
-        jnp.sum(q32 * q32, axis=-1, keepdims=True)
-        - 2.0 * (q32 @ reps_p.T)
-        + jnp.sum(reps_p * reps_p, axis=-1)[None, :]
-    )
+
+def _grid_query_core(bin_reps32, bin_elems, bin_coords6, q32, q_lo,
+                     k: int, n_probe: int, approx: bool):
+    """Two-level search on centered split-f32 queries (traceable; shared
+    by grid_knn and the locate ladder's re-probe rescue)."""
+    C = q32.shape[0]
+    n_bins, two_d, m = bin_coords6.shape
+    d = two_d // 2
     p = min(n_probe, n_bins)
-    if pad_bins // _GROUP <= p:
-        _, probe_bins = jax.lax.top_k(-d2c[:, :n_bins], p)
+
+    # stage 1: rank bins by representative distance (one small matmul)
+    neg = (
+        2.0 * (q32 @ bin_reps32.T)
+        - jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :]
+    )
+    if approx and n_bins >= 128 and p * 8 <= n_bins:
+        _, probe = jax.lax.approx_max_k(neg, p)
     else:
-        _, bin_groups = _top_groups(-d2c, p)  # [N, p] groups of bins
-        # rescore the p*G member bins from the already-computed d2c
-        # columns, keep the best p
-        member_bins = (
-            bin_groups[:, :, None] * _GROUP
-            + jnp.arange(_GROUP, dtype=jnp.int32)[None, None, :]
-        ).reshape(queries.shape[0], -1)
-        member_bins = jnp.minimum(member_bins, pad_bins - 1)
-        d2b = jnp.take_along_axis(d2c, member_bins, axis=1)
-        d2b = jnp.where(member_bins < n_bins, d2b, jnp.inf)
-        _, sel = jax.lax.top_k(-d2b, p)
-        probe_bins = jnp.take_along_axis(member_bins, sel, axis=1)
+        _, probe = jax.lax.top_k(neg, p)
 
-    # stage 2: stream the probed bins, carrying a running exact top-k --
-    # memory stays [N, m] per step regardless of n_probe
-    N = queries.shape[0]
-    m = bin_elems.shape[1]
-
-    def step(carry, j):
-        best_neg, best_idx = carry
-        b = probe_bins[:, j]
-        cand = bin_elems[b]  # [N, m]
-        mask = bin_valid[b]
-        diff = (src32[cand] - q32[:, None, :]) + (
-            src_lo[cand] - q_lo[:, None, :]
+    # stage 2: score ALL probed members in one shot.  Whole-bin planar
+    # rows keep every gather contiguous and every minor axis lane-wide.
+    mem_ids = bin_elems[probe]  # [C, p, m]
+    coords = bin_coords6[probe]  # [C, p, 2d, m]
+    d2 = None
+    for a in range(d):
+        diff = (coords[:, :, a, :] - q32[:, a, None, None]) + (
+            coords[:, :, d + a, :] - q_lo[:, a, None, None]
         )
-        d2 = jnp.sum(diff * diff, axis=-1)
-        neg = jnp.where(mask, -d2, -jnp.inf)
-        merged_v = jnp.concatenate([best_neg, neg], axis=1)
-        merged_i = jnp.concatenate([best_idx, cand], axis=1)
-        new_v, sel = jax.lax.top_k(merged_v, k)
-        new_i = jnp.take_along_axis(merged_i, sel, axis=1)
-        return (new_v, new_i), None
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    d2 = d2.reshape(C, p * m)
+    k_eff = min(k, p * m)
+    if approx and p * m >= 128 and k_eff * 8 <= p * m:
+        nv, pos = jax.lax.approx_max_k(-d2, k_eff)
+    else:
+        nv, pos = jax.lax.top_k(-d2, k_eff)
+    idx = jnp.take_along_axis(mem_ids.reshape(C, p * m), pos, axis=1)
+    if k_eff < k:
+        reps_ = k - k_eff
+        nv = jnp.concatenate([nv, jnp.repeat(nv[:, -1:], reps_, 1)], 1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps_, 1)], 1)
+    return -nv, idx.astype(jnp.int32)
 
-    init = (
-        jnp.full((N, k), -jnp.inf, jnp.float32),
-        jnp.zeros((N, k), jnp.int32),
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "approx")
+)
+def _grid_query(bin_reps32, bin_elems, bin_coords6, center, queries,
+                k: int, n_probe: int, approx: bool):
+    q32, q_lo = _center_queries(queries, center)
+    d2, idx = _grid_query_core(
+        bin_reps32, bin_elems, bin_coords6, q32, q_lo, k, n_probe, approx
     )
-    (neg, idx), _ = jax.lax.scan(
-        step, init, jnp.arange(p, dtype=jnp.int32)
-    )
-    return (-neg).astype(queries.dtype), idx.astype(jnp.int32)
+    return d2.astype(queries.dtype), idx
 
 
 def grid_knn(
@@ -182,13 +207,13 @@ def grid_knn(
     queries,
     k: int,
     *,
-    n_probe: int = 16,
+    n_probe: int = 8,
+    approx: bool = False,
     query_chunk: int = 262_144,
 ):
     """k nearest binned sources per query via the two-level search."""
     queries = jnp.asarray(queries)
     N = queries.shape[0]
-    k_eff = min(k, index.sources.shape[0])
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]
@@ -199,8 +224,8 @@ def grid_knn(
                 [q, jnp.repeat(q[:1], bucket - n, axis=0)]
             )
         d2, idx = _grid_query(
-            index.bin_reps, index.bin_elems, index.bin_valid,
-            index.sources, q, k_eff, n_probe,
+            index.bin_reps32, index.bin_elems, index.bin_coords6,
+            index.center, q, k, n_probe, approx,
         )
         out_d.append(d2[:n])
         out_i.append(idx[:n])
@@ -219,6 +244,14 @@ def _checksum_jit(x):
     slow host tunnel just to hash them would dwarf the index build).
     f64 inputs hash the f32 cast plus the cast residual (bitcasting f64
     directly is unsupported by the TPU x64 rewriter)."""
+    # flatten trailing dims first, behind an optimization barrier: any
+    # cast/bitcast of a rank-3 [E, 125, 3] value gets a T(8,128) layout
+    # on the LAST TWO dims -- a 42x padded 32 GB copy for a 500k-element
+    # mesh -- while [E, 375] pads only 375 -> 384.  Without the barrier
+    # XLA hoists the f32 cast above the reshape and pads anyway.
+    if x.ndim != 2:
+        x = x.reshape(x.shape[0] if x.ndim > 1 else 1, -1)
+    x = jax.lax.optimization_barrier(x)
     x32 = x.astype(jnp.float32)
     parts = [x32.ravel()]
     if x.dtype == jnp.float64:
@@ -235,12 +268,51 @@ def _checksum_jit(x):
     return jnp.stack(hs)
 
 
+_FP_CACHE: dict = {}
+
+
 def _fingerprint(sources) -> tuple:
-    """Full-content key: shape/dtype + device-side checksum of every
-    coordinate (a sampled key could silently reuse a stale index for a
-    mesh modified in place)."""
+    """Full-content key: shape/dtype + checksum of every coordinate (a
+    sampled key could silently reuse a stale index for a mesh modified
+    in place).
+
+    Host numpy arrays hash with blake2b (CPU-fast, and numpy inputs ARE
+    mutable so no identity caching is safe -- the layered engine paths
+    rescale geometry in place).  Device arrays are immutable, so their
+    device-side checksum is cached by object identity (guarded by a
+    weakref: a dead id can be reused by a new array)."""
+    if isinstance(sources, np.ndarray):
+        h = hashlib.blake2b(digest_size=16)
+        a = np.ascontiguousarray(sources)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+        return (a.shape, str(a.dtype), h.digest())
+    key_id = id(sources)
+    ent = _FP_CACHE.get(key_id)
+    if ent is not None and ent[0]() is sources:
+        return ent[1]
     sums = tuple(int(v) for v in np.asarray(_checksum_jit(sources)))
-    return (sources.shape, str(sources.dtype), sums)
+    fp = (sources.shape, str(sources.dtype), sums)
+    if len(_FP_CACHE) > 64:
+        _FP_CACHE.clear()
+    try:
+        _FP_CACHE[key_id] = (weakref.ref(sources), fp)
+    except TypeError:
+        pass
+    return fp
+
+
+def get_grid_index(sources) -> GridIndex:
+    """The (cached) balanced-bin index for a source point set."""
+    key = _fingerprint(sources)
+    index = _INDEX_CACHE.get(key)
+    if index is None:
+        if len(_INDEX_CACHE) > 16:
+            _INDEX_CACHE.clear()
+        index = build_grid(sources)
+        _INDEX_CACHE[key] = index
+    return index
 
 
 def spatial_order(sources) -> np.ndarray:
@@ -249,8 +321,11 @@ def spatial_order(sources) -> np.ndarray:
     the domain like a space-filling curve)."""
     index = build_grid(sources, target_per_cell=32)
     elems = np.asarray(index.bin_elems)
-    valid = np.asarray(index.bin_valid)
-    return elems[valid].astype(np.int64)
+    mask = (
+        np.arange(elems.shape[1])[None, :]
+        < np.asarray(index.bin_counts)[:, None]
+    )
+    return elems[mask].astype(np.int64)
 
 
 def _cached_random_perm(sources):
@@ -274,16 +349,17 @@ def _cached_random_perm(sources):
 
 def knn_any(sources, queries, k: int, exact: bool = True,
             approx: bool = False, **kw):
-    """Candidate search dispatcher: exact matmul kNN for small source
-    sets, balanced-bin two-level search beyond EXACT_KNN_MAX_SOURCES.
-    Grid indices are cached by a content fingerprint so repeated
-    transfers against the same mesh skip the host build.
+    """Candidate search dispatcher.
 
-    ``approx=True`` routes small sources through ``approx_max_k``
-    (~4x faster on TPU, ~0.03% candidate-set misses on randomly-permuted
-    sources) -- ONLY sound for callers with a rescue path, i.e. the
-    locate ladder, which re-runs exact kNN for points whose candidates
-    all fail acceptance.
+    ``approx=True`` is the locate-ladder route (callers MUST have a
+    rescue path): approx_max_k over randomly permuted sources for small
+    meshes, the balanced-bin two-level search (with approx selection)
+    beyond APPROX_GRID_MIN_SOURCES.
+
+    Otherwise: exact matmul kNN up to EXACT_KNN_MAX_SOURCES, balanced-bin
+    search (exact selection over the probed members) beyond.  Grid
+    indices and permutations are cached by content fingerprint so
+    repeated transfers against the same mesh skip the host build.
 
     ``exact=False`` re-orders sources along the median-split curve first
     (cached permutation) and uses search.knn's relaxed group selection.
@@ -292,12 +368,17 @@ def knn_any(sources, queries, k: int, exact: bool = True,
     the relaxed path remains for workloads that tolerate approximate
     neighbor sets.
     """
-    sources = jnp.asarray(sources)
     E = sources.shape[0]
-    if E <= EXACT_KNN_MAX_SOURCES:
-        if approx and E > 256:
+    if approx:
+        if E > APPROX_GRID_MIN_SOURCES:
+            return grid_knn(get_grid_index(sources), queries, k,
+                            approx=True, **kw)
+        kw.pop("n_probe", None)  # grid-path knob, meaningless below
+        if E > 256:
             perm, src_perm = _cached_random_perm(sources)
             return _approx_knn(src_perm, perm, queries, k, **kw)
+        return _exact_knn(sources, queries, k, exact=True)
+    if E <= EXACT_KNN_MAX_SOURCES:
         if exact:
             return _exact_knn(sources, queries, k, exact=True)
         key = ("perm",) + _fingerprint(sources)
@@ -312,11 +393,4 @@ def knn_any(sources, queries, k: int, exact: bool = True,
         perm_j, src_perm = entry
         d2, idx_p = _exact_knn(src_perm, queries, k, exact=False)
         return d2, perm_j[idx_p]
-    key = _fingerprint(sources)
-    index = _INDEX_CACHE.get(key)
-    if index is None:
-        if len(_INDEX_CACHE) > 16:
-            _INDEX_CACHE.clear()
-        index = build_grid(sources)
-        _INDEX_CACHE[key] = index
-    return grid_knn(index, queries, k, **kw)
+    return grid_knn(get_grid_index(sources), queries, k, **kw)

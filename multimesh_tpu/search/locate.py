@@ -107,6 +107,43 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas):
     return out
 
 
+def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas):
+    """Numpy twin of _mesh_prep_jit for host-array inputs: f64 is fast
+    on the host CPU and emulated on TPU, and only the f32 artifacts need
+    to cross the (slow) host->device link -- for a 500k-element order-4
+    mesh this moves ~800 MB instead of the 1.5 GB raw f64 lattice."""
+    corners = elem_nodes[:, np.asarray(gll.corner_indices(order, d))]
+    lo = elem_nodes.min(axis=1)
+    hi = elem_nodes.max(axis=1)
+    out = {
+        "corners": jnp.asarray(corners),
+        "lo": jnp.asarray(lo),
+        "hi": jnp.asarray(hi),
+        "centroids": jnp.asarray(elem_nodes.mean(axis=1)),
+    }
+    if pallas:
+        centers = 0.5 * (lo + hi)
+        scales = np.maximum(0.5 * (hi - lo).max(axis=-1), 1e-30)
+        out["nodes_c32"] = jnp.asarray((
+            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
+        ).astype(np.float32))
+        out["corners_c32"] = jnp.asarray((
+            (corners - centers[:, None, :]) / scales[:, None, None]
+        ).astype(np.float32))
+        ctr_hi = centers.astype(np.float32)
+        ctr_lo = (centers - ctr_hi.astype(np.float64)).astype(np.float32)
+        out["centering"] = (
+            jnp.asarray(ctr_hi), jnp.asarray(ctr_lo),
+            jnp.asarray((1.0 / scales).astype(np.float32)),
+        )
+    else:
+        z = jnp.zeros((1,), jnp.float32)
+        out["centering"] = (z, z, z)
+        out["nodes_c32"] = z
+        out["corners_c32"] = z
+    return out
+
+
 def _mesh_prep(elem_nodes, order: int, d: int, engine: str) -> dict:
     """Derived per-mesh geometry (corners, AABBs, centroids, f32
     unit-frame node lattices), cached by content fingerprint: the f64
@@ -120,7 +157,12 @@ def _mesh_prep(elem_nodes, order: int, d: int, engine: str) -> dict:
     if prep is None:
         if len(_PREP_CACHE) > 8:
             _PREP_CACHE.clear()
-        prep = _mesh_prep_jit(elem_nodes, order, d, engine == "pallas")
+        if isinstance(elem_nodes, np.ndarray):
+            prep = _mesh_prep_host(elem_nodes, order, d,
+                                   engine == "pallas")
+        else:
+            prep = _mesh_prep_jit(elem_nodes, order, d,
+                                  engine == "pallas")
         _PREP_CACHE[key] = prep
     return prep
 
@@ -238,11 +280,12 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
 @functools.partial(
     jax.jit,
     static_argnames=("order", "cfg", "fallback", "use_aabb", "interpret",
-                     "want_weights", "exact_rescue", "n_valid"),
+                     "want_weights", "rescue_mode", "n_valid"),
 )
 def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
+                  grid_data,
                   order, cfg, fallback, use_aabb, interpret, want_weights,
-                  exact_rescue, n_valid=None):
+                  rescue_mode, n_valid=None):
     """Escalation-ladder point location (device-only, one jit).
 
     Round 1 runs the full-order Newton on every point's NEAREST candidate
@@ -366,10 +409,13 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
         B = max(C // 8, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 4:min(12, K)], idx)
-    # ---- round 4: exact kNN re-search for the C/32 hardest failures ---
-    # (restores full recall when the candidate list came from the
-    # approximate search, and covers the tail of the k-candidate budget)
-    if exact_rescue:
+    # ---- round 4: re-search for the C/32 hardest failures -------------
+    # "exact" re-runs a full exact kNN (restores full recall when the
+    # candidate list came from the approximate search); "grid" re-probes
+    # the balanced-bin index with 4x the bins (large meshes, where a
+    # [B, E] distance sweep would not fit); "tail" covers candidate
+    # columns 12..K-1 of a caller-provided list.
+    if rescue_mode == "exact":
         from .knn import _knn_jit
 
         B = max(C // 32, min(C, 128))
@@ -378,7 +424,20 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
         _, cand4 = _knn_jit(points[idx], centroids, k_full, 4096,
                             jnp.float32, True)
         state = rescue(state, cand4, idx)
-    elif K > 12:
+    elif rescue_mode == "grid":
+        from .grid import _center_queries, _grid_query_core
+
+        bin_reps32, g_center, bin_elems, bin_coords6 = grid_data
+        B = max(C // 32, min(C, 128))
+        idx = failure_order(state)[:B]
+        q32, q_lo = _center_queries(points[idx], g_center)
+        k_full = int(cfg.nelem_to_search)
+        _, cand4 = _grid_query_core(
+            bin_reps32, bin_elems, bin_coords6, q32, q_lo, k_full,
+            n_probe=16, approx=False,
+        )
+        state = rescue(state, cand4, idx)
+    elif rescue_mode == "tail" and K > 12:
         B = max(C // 32, min(C, 128))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 12:K], idx)
@@ -676,7 +735,9 @@ def locate(
     state that mode needs).
     """
     points = jnp.asarray(points)
-    elem_nodes = jnp.asarray(elem_nodes)
+    # elem_nodes stays in its caller-provided form (numpy or device):
+    # _mesh_prep hashes + preps host arrays host-side, and the ladder
+    # path never needs the raw f64 lattice on device at all
     N, d = points.shape
     if engine == "auto":
         engine = default_engine()
@@ -720,7 +781,13 @@ def locate(
         use_approx = use_ladder and not interpret
         if use_approx:
             k = min(k, 12)
-        _, candidates = _knn(centroids, points, k, approx=use_approx)
+            # 4 probed bins (vs the public default 8) is plenty for
+            # CANDIDATE generation: the ladder re-probes 16 bins for any
+            # point these candidates fail to accept
+            _, candidates = _knn(centroids, points, k, approx=True,
+                                 n_probe=4)
+        else:
+            _, candidates = _knn(centroids, points, k)
     candidates = jnp.asarray(candidates)
 
     corners = prep["corners"]
@@ -729,6 +796,23 @@ def locate(
     nodes_c32 = prep["nodes_c32"]
     corners_c32 = prep["corners_c32"]
     min_bucket = pn.BLOCK if engine == "pallas" else 1
+
+    rescue_mode = "none"
+    grid_data = (jnp.zeros((1,), jnp.float32),) * 4
+    if use_ladder:
+        from .grid import APPROX_GRID_MIN_SOURCES, get_grid_index
+
+        E = elem_nodes.shape[0]
+        if E <= APPROX_GRID_MIN_SOURCES:
+            # a [B, E] exact re-sweep is cheap at this size
+            rescue_mode = "exact"
+        else:
+            # re-probe the balanced-bin index with 4x the bins instead
+            # (an exact sweep would scale with E)
+            rescue_mode = "grid"
+            gi = get_grid_index(centroids)
+            grid_data = (gi.bin_reps32, gi.center, gi.bin_elems,
+                         gi.bin_coords6)
 
     def run_chunk(pts_c, cand_c, pm):
         # Pad every chunk to a power-of-two row count so XLA compiles one
@@ -745,17 +829,15 @@ def locate(
                 [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
             )
         if use_ladder:
-            from .grid import EXACT_KNN_MAX_SOURCES
-
             out = _ladder_chunk(
                 pts_c, cand_c, centroids, nodes_c32, centering, (lo, hi),
+                grid_data,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
-                elem_nodes.shape[0] <= EXACT_KNN_MAX_SOURCES,
-                n_valid=n,
+                rescue_mode, n_valid=n,
             )
         else:
             out = _locate_chunk(
-                pts_c, cand_c, elem_nodes, corners, (lo, hi),
+                pts_c, cand_c, jnp.asarray(elem_nodes), corners, (lo, hi),
                 centering, nodes_c32, corners_c32,
                 order, cfg, dtype, use_aabb, fallback, pm, engine,
                 interpret, want_weights,

@@ -56,24 +56,20 @@ def _structured_corners(shape, dim):
     """
     nv = [s + 1 for s in shape]
     vert_idx = np.arange(int(np.prod(nv))).reshape(nv)
-    conn = []
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
     if dim == 3:
-        for i in range(shape[0]):
-            for j in range(shape[1]):
-                for k in range(shape[2]):
-                    c = [
-                        vert_idx[i + a, j + b, k + c_]
-                        for a in (0, 1)
-                        for b in (0, 1)
-                        for c_ in (0, 1)
-                    ]
-                    conn.append(c)
+        i, j, k = grids
+        cols = [
+            vert_idx[i + a, j + b, k + c_].ravel()
+            for a in (0, 1) for b in (0, 1) for c_ in (0, 1)
+        ]
     else:
-        for i in range(shape[0]):
-            for j in range(shape[1]):
-                c = [vert_idx[i + a, j + b] for a in (0, 1) for b in (0, 1)]
-                conn.append(c)
-    return np.asarray(conn, dtype=np.int64)
+        i, j = grids
+        cols = [
+            vert_idx[i + a, j + b].ravel()
+            for a in (0, 1) for b in (0, 1)
+        ]
+    return np.stack(cols, axis=-1).astype(np.int64)
 
 
 def box_mesh(

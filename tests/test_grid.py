@@ -28,7 +28,7 @@ def test_grid_on_shell_centroids(rng):
     q = np.stack([r * np.sin(th) * np.cos(ph),
                   r * np.sin(th) * np.sin(ph), r * np.cos(th)], -1)
     index = build_grid(cents, target_per_cell=16)
-    d2, idx = grid_knn(index, q, 8)
+    d2, idx = grid_knn(index, q, 8, n_probe=16)
     d_ref = cKDTree(cents).query(q, k=8)[0]
     d_mine = np.linalg.norm(cents[np.asarray(idx)] - q[:, None], axis=-1)
     np.testing.assert_allclose(d_mine, d_ref, rtol=1e-5, atol=1.0)

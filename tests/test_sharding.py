@@ -70,3 +70,40 @@ def test_sharded_multi_field_snap(rng):
     # resolve to a different (equally valid) accepted element, so values
     # agree to interpolation continuity rather than bit-exactly
     np.testing.assert_allclose(vals, expected, rtol=1e-5)
+
+
+def test_source_sharded_matches_replicated(rng):
+    """Source elements sharded 8 ways (spatial bin runs) + two-pass
+    local-try / all_gather retry must match the replicated-source run
+    to interpolation tolerance (VERDICT round-1 item 4)."""
+    from multimesh_tpu.dist import source_sharded_transfer
+
+    mesh = mmt.box_mesh(shape=(6, 6, 6), order=2, warp=0.08)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    fields = np.stack([field, 3.0 * field])
+    pts = rng.uniform(0.02, 0.98, size=(700, 3))
+
+    cfg = LocateConfig(nelem_to_search=8)
+    vals = source_sharded_transfer(
+        pts, mesh.points, fields, order=2, cfg=cfg, mesh=make_mesh(),
+    )
+    op = TransferOperator.build(mesh.points, pts, order=2, cfg=cfg,
+                                fallback="sentinel")
+    expected = np.asarray(op.apply(fields))
+    found = expected[:, 0] != 0
+    assert found.mean() > 0.99
+    # boundary-crossing points are resolved by the all_gather retry;
+    # accepted elements can differ on shared faces, so values agree to
+    # interpolation continuity rather than bit-exactly
+    np.testing.assert_allclose(vals[found], expected[found], rtol=1e-5)
+
+
+def test_partition_source_balanced():
+    from multimesh_tpu.dist import partition_source
+
+    mesh = mmt.box_mesh(shape=(8, 8, 8), order=1)
+    ids, reps, center, bin_shard = partition_source(mesh.points, 8)
+    sizes = np.array([len(i) for i in ids])
+    assert sizes.sum() == mesh.nelem
+    assert np.concatenate(ids).size == np.unique(np.concatenate(ids)).size
+    assert sizes.max() <= sizes.min() + 40  # one bin of slack
