@@ -79,6 +79,15 @@ class LocateConfig:
     # clamped solutions can never pass accept_tol).
     newton_clamp: float = 8.0
 
+    # Run 2 float64 Newton iterations on each ACCEPTED (point, element)
+    # pair after the f32 ladder, warm-started from the f32 ref coords:
+    # ref-coordinate accuracy goes from ~1e-7 (f32 plateau) to <1e-12,
+    # and the returned refs/weights are f64.  Costs one extra gather of
+    # the split-f32 node lattice plus emulated-f64 math for 2 iterations
+    # over accepted points only; matches the reference's f64-throughout
+    # numerics (reference multi_mesh/utils.py:212) when needed.
+    f64_polish: bool = False
+
     precision: Precision = Precision.MIXED
 
 

@@ -138,6 +138,7 @@ def inverse_map(
     order: int,
     cfg: LocateConfig = DEFAULT_LOCATE,
     dtype=None,
+    ref0=None,
 ):
     """Batched inverse of the shape map: find ref with x(ref) = point.
 
@@ -148,6 +149,10 @@ def inverse_map(
     guess, tol = newton_rtol * element scale) but runs a fixed schedule:
     ``cfg.newton_iters`` bulk iterations at ``dtype`` (or the input dtype)
     on centered coordinates, then ``cfg.polish_iters`` at the input dtype.
+
+    ``ref0`` [..., d] warm-starts the iteration (e.g. f32 ladder output
+    fed into a short f64 polish): Newton converges quadratically from a
+    nearby guess, so 1-2 iterations recover full f64 accuracy.
     """
     d = point.shape[-1]
     n_nodes = elem_nodes.shape[-2]
@@ -163,7 +168,10 @@ def inverse_map(
     nodes_c = (elem_nodes - center[..., None, :]) / scale[..., None, :]
     point_c = (point - center) / scale
 
-    ref0 = jnp.zeros_like(point_c)
+    if ref0 is None:
+        ref0 = jnp.zeros_like(point_c)
+    else:
+        ref0 = jnp.asarray(ref0, point_c.dtype)
     ref, _ = _newton_iterations(
         order,
         nodes_c.astype(bulk_dt),

@@ -51,9 +51,46 @@ def _locate_cfg(nelem_to_search: int, accept_tol: float) -> LocateConfig:
 
 
 def _as_salvus(mesh, fast_mode=False) -> sio.SalvusMesh:
+    """Accept a path, our own SalvusMesh, or any live salvus-like mesh
+    object.  The reference's interpolate_to_points takes a
+    salvus.mesh.UnstructuredMesh directly (reference
+    multi_mesh/components/interpolator.py:945-954, element nodes via
+    ``points[connectivity]``); objects exposing points/connectivity (or
+    an element-nodal ``points``) duck-type through the same engine."""
     if isinstance(mesh, (str, pathlib.Path)):
         return sio.SalvusMesh(mesh, fast_mode=fast_mode)
+    if isinstance(mesh, sio.SalvusMesh):
+        return mesh
+    pts = getattr(mesh, "points", None)
+    conn = getattr(mesh, "connectivity", None)
+    if pts is not None and getattr(pts, "ndim", 0) == 2 and conn is not None:
+        # salvus.mesh.UnstructuredMesh shape: flat vertex list + conn
+        return _DuckMesh(np.asarray(pts)[np.asarray(conn)], mesh)
+    if pts is not None and getattr(pts, "ndim", 0) == 3:
+        return _DuckMesh(np.asarray(pts), mesh)
     return mesh
+
+
+class _DuckMesh:
+    """Minimal SalvusMesh-compatible view over a live mesh object."""
+
+    def __init__(self, elem_points: np.ndarray, source):
+        self.points = elem_points
+        self._source = source
+        dim = elem_points.shape[2]
+        self.shape_order = int(
+            round(elem_points.shape[1] ** (1.0 / dim))
+        ) - 1
+
+    @property
+    def element_nodal_fields(self):
+        enf = getattr(self._source, "element_nodal_fields", None)
+        if enf is None:
+            raise AttributeError(
+                "mesh object has no element_nodal_fields; pass a file "
+                "path or a SalvusMesh for field access"
+            )
+        return enf
 
 
 # -------------------------------------------------------------------------

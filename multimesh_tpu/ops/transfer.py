@@ -126,7 +126,27 @@ class TransferOperator:
         recon=None,
         engine: str = "auto",
     ) -> "TransferOperator":
-        res = _locate(
+        from ..utils_profile import stage_timer
+
+        with stage_timer("operator.build") as t:
+            res = cls._build_locate(
+                source_points, target_points, order, cfg, fallback,
+                use_aabb, prefilter_m, centroids, candidates, engine,
+            )
+            t.sync(res.elements)
+        return cls(
+            elements=res.elements,
+            order=order,
+            refs=res.refs,
+            found=res.found,
+            recon=None if recon is None else jnp.asarray(recon),
+        )
+
+    @staticmethod
+    def _build_locate(source_points, target_points, order, cfg, fallback,
+                      use_aabb, prefilter_m, centroids, candidates,
+                      engine):
+        return _locate(
             target_points,
             source_points,
             order=order,
@@ -138,13 +158,6 @@ class TransferOperator:
             candidates=candidates,
             engine=engine,
             want_weights=False,
-        )
-        return cls(
-            elements=res.elements,
-            order=order,
-            refs=res.refs,
-            found=res.found,
-            recon=None if recon is None else jnp.asarray(recon),
         )
 
     @property

@@ -67,8 +67,10 @@ class LocateResult:
 _PREP_CACHE: dict = {}
 
 
-@functools.partial(jax.jit, static_argnames=("order", "d", "pallas"))
-def _mesh_prep_jit(elem_nodes, order, d, pallas):
+@functools.partial(
+    jax.jit, static_argnames=("order", "d", "pallas", "want_lo")
+)
+def _mesh_prep_jit(elem_nodes, order, d, pallas, want_lo=False):
     corners = elem_nodes[:, np.asarray(gll.corner_indices(order, d))]
     lo = jnp.min(elem_nodes, axis=1)
     hi = jnp.max(elem_nodes, axis=1)
@@ -85,9 +87,10 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas):
         # of the centers (see _make_pallas_invert / _pallas_invert_rows)
         centers = 0.5 * (lo + hi)
         scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
-        nodes_c32 = (
-            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
-        ).astype(jnp.float32)
+        nodes_c = (
+            elem_nodes - centers[:, None, :]
+        ) / scales[:, None, None]
+        nodes_c32 = nodes_c.astype(jnp.float32)
         corners_c32 = (
             (corners - centers[:, None, :]) / scales[:, None, None]
         ).astype(jnp.float32)
@@ -99,6 +102,16 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas):
         out["centering"] = (ctr_hi, ctr_lo, inv_scale)
         out["nodes_c32"] = nodes_c32
         out["corners_c32"] = corners_c32
+        if want_lo:
+            # split-f32 residuals: hi + lo reconstructs the f64 geometry
+            # (and the f64 inverse scale -- points and nodes must be
+            # scaled CONSISTENTLY or the polish stalls at f32 accuracy)
+            out["nodes_lo_c32"] = (
+                nodes_c - nodes_c32.astype(nodes_c.dtype)
+            ).astype(jnp.float32)
+            out["inv_scale_lo"] = (
+                1.0 / scales - inv_scale.astype(scales.dtype)
+            ).astype(jnp.float32)
     else:
         z = jnp.zeros((1,), jnp.float32)
         out["centering"] = (z, z, z)
@@ -107,7 +120,8 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas):
     return out
 
 
-def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas):
+def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas,
+                    want_lo=False):
     """Numpy twin of _mesh_prep_jit for host-array inputs: f64 is fast
     on the host CPU and emulated on TPU, and only the f32 artifacts need
     to cross the (slow) host->device link -- for a 500k-element order-4
@@ -124,12 +138,21 @@ def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas):
     if pallas:
         centers = 0.5 * (lo + hi)
         scales = np.maximum(0.5 * (hi - lo).max(axis=-1), 1e-30)
-        out["nodes_c32"] = jnp.asarray((
-            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
-        ).astype(np.float32))
+        nodes_c = (elem_nodes - centers[:, None, :]) / scales[:, None, None]
+        nodes_c32 = nodes_c.astype(np.float32)
+        out["nodes_c32"] = jnp.asarray(nodes_c32)
         out["corners_c32"] = jnp.asarray((
             (corners - centers[:, None, :]) / scales[:, None, None]
         ).astype(np.float32))
+        if want_lo:
+            out["nodes_lo_c32"] = jnp.asarray(
+                (nodes_c - nodes_c32.astype(np.float64)).astype(np.float32)
+            )
+            inv_scale32 = (1.0 / scales).astype(np.float32)
+            out["inv_scale_lo"] = jnp.asarray(
+                (1.0 / scales - inv_scale32.astype(np.float64)
+                 ).astype(np.float32)
+            )
         ctr_hi = centers.astype(np.float32)
         ctr_lo = (centers - ctr_hi.astype(np.float64)).astype(np.float32)
         out["centering"] = (
@@ -144,7 +167,8 @@ def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas):
     return out
 
 
-def _mesh_prep(elem_nodes, order: int, d: int, engine: str) -> dict:
+def _mesh_prep(elem_nodes, order: int, d: int, engine: str,
+               want_lo: bool = False) -> dict:
     """Derived per-mesh geometry (corners, AABBs, centroids, f32
     unit-frame node lattices), cached by content fingerprint: the f64
     centering arithmetic is emulated (slow) on TPU and identical across
@@ -152,17 +176,17 @@ def _mesh_prep(elem_nodes, order: int, d: int, engine: str) -> dict:
     mesh."""
     from .grid import _fingerprint
 
-    key = (_fingerprint(elem_nodes), order, engine == "pallas")
+    key = (_fingerprint(elem_nodes), order, engine == "pallas", want_lo)
     prep = _PREP_CACHE.get(key)
     if prep is None:
         if len(_PREP_CACHE) > 8:
             _PREP_CACHE.clear()
         if isinstance(elem_nodes, np.ndarray):
             prep = _mesh_prep_host(elem_nodes, order, d,
-                                   engine == "pallas")
+                                   engine == "pallas", want_lo)
         else:
             prep = _mesh_prep_jit(elem_nodes, order, d,
-                                  engine == "pallas")
+                                  engine == "pallas", want_lo)
         _PREP_CACHE[key] = prep
     return prep
 
@@ -283,7 +307,7 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
                      "want_weights", "rescue_mode", "n_valid"),
 )
 def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
-                  grid_data,
+                  grid_data, nodes_lo,
                   order, cfg, fallback, use_aabb, interpret, want_weights,
                   rescue_mode, n_valid=None):
     """Escalation-ladder point location (device-only, one jit).
@@ -444,11 +468,43 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
 
     elem, ref, acc, best_max, best_ref, best_elem = state
 
+    # ---- optional f64 polish of accepted pairs ------------------------
+    # 2 Newton iterations at f64 on the split-f32-reconstructed geometry,
+    # warm-started from the f32 ladder refs: quadratic convergence takes
+    # ~1e-7 straight below 1e-12.  Refs/weights then stay f64.
+    w_dt = jnp.float32
+    if cfg.f64_polish:
+        from ..core.shape import _newton_iterations
+
+        w_dt = jnp.float64
+        nodes_lo_c32, inv_scale_lo = nodes_lo
+        el_s = jnp.maximum(elem, 0)
+        ctr_hi, ctr_lo, inv_scale = centering
+        inv64 = (
+            inv_scale[el_s].astype(jnp.float64)
+            + inv_scale_lo[el_s].astype(jnp.float64)
+        )
+        p_c64 = (
+            (pts_hi.astype(jnp.float64) - ctr_hi[el_s].astype(jnp.float64))
+            + (pts_lo.astype(jnp.float64)
+               - ctr_lo[el_s].astype(jnp.float64))
+        ) * inv64[:, None]
+        nodes64 = (
+            nodes_c32[el_s].astype(jnp.float64)
+            + nodes_lo_c32[el_s].astype(jnp.float64)
+        )
+        ref64, _res = _newton_iterations(
+            order, nodes64, p_c64, ref.astype(jnp.float64), 2,
+            cfg.newton_rtol, cfg.newton_clamp,
+        )
+        ref = jnp.where(acc[:, None], ref64, ref.astype(jnp.float64))
+        best_ref = best_ref.astype(jnp.float64)
+
     # ---- fallback assembly (same semantics as the sequential scan) ----
     def make_weights(refs, mask=None):
         if not want_weights:
             return None
-        w = gll.tensor_basis(order, refs.astype(jnp.float32))
+        w = gll.tensor_basis(order, refs.astype(w_dt))
         if mask is not None:
             w = jnp.where(mask[:, None], w, 0.0)
         return w
@@ -476,8 +532,8 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
             f"ladder does not support fallback mode {fallback!r}"
         )
     if weights is None:
-        weights = jnp.zeros((C, 0), jnp.float32)
-    return (elements.astype(jnp.int32), refs.astype(jnp.float32),
+        weights = jnp.zeros((C, 0), w_dt)
+    return (elements.astype(jnp.int32), refs.astype(w_dt),
             weights, found, acc)
 
 
@@ -768,7 +824,8 @@ def locate(
             "sentinel/snap/best fallback mode"
         )
 
-    prep = _mesh_prep(elem_nodes, order, d, engine)
+    prep = _mesh_prep(elem_nodes, order, d, engine,
+                      want_lo=use_ladder and cfg.f64_polish)
     if centroids is None:
         centroids = prep["centroids"]
     if candidates is None:
@@ -779,15 +836,19 @@ def locate(
         # with a smaller k (candidates beyond ~12 almost never accept
         # first; the rescue covers the tail)
         use_approx = use_ladder and not interpret
-        if use_approx:
-            k = min(k, 12)
-            # 4 probed bins (vs the public default 8) is plenty for
-            # CANDIDATE generation: the ladder re-probes 16 bins for any
-            # point these candidates fail to accept
-            _, candidates = _knn(centroids, points, k, approx=True,
-                                 n_probe=4)
-        else:
-            _, candidates = _knn(centroids, points, k)
+        from ..utils_profile import stage_timer
+
+        with stage_timer("locate.knn") as t:
+            if use_approx:
+                k = min(k, 12)
+                # 4 probed bins (vs the public default 8) is plenty for
+                # CANDIDATE generation: the ladder re-probes 16 bins for
+                # any point these candidates fail to accept
+                _, candidates = _knn(centroids, points, k, approx=True,
+                                     n_probe=4)
+            else:
+                _, candidates = _knn(centroids, points, k)
+            t.sync(candidates)
     candidates = jnp.asarray(candidates)
 
     corners = prep["corners"]
@@ -795,6 +856,9 @@ def locate(
     centering = prep["centering"]
     nodes_c32 = prep["nodes_c32"]
     corners_c32 = prep["corners_c32"]
+    _z1 = jnp.zeros((1,), jnp.float32)
+    nodes_lo = (prep.get("nodes_lo_c32", _z1),
+                prep.get("inv_scale_lo", _z1))
     min_bucket = pn.BLOCK if engine == "pallas" else 1
 
     rescue_mode = "none"
@@ -831,7 +895,7 @@ def locate(
         if use_ladder:
             out = _ladder_chunk(
                 pts_c, cand_c, centroids, nodes_c32, centering, (lo, hi),
-                grid_data,
+                grid_data, nodes_lo,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
                 rescue_mode, n_valid=n,
             )
@@ -844,10 +908,16 @@ def locate(
             )
         return tuple(o[:n] for o in out)
 
+    from ..utils_profile import stage_timer
+
     outs = []
-    for start in range(0, N, chunk):
-        sl = slice(start, min(start + chunk, N))
-        outs.append(run_chunk(points[sl], candidates[sl], prefilter_m))
+    with stage_timer("locate.chunks") as t:
+        for start in range(0, N, chunk):
+            sl = slice(start, min(start + chunk, N))
+            outs.append(
+                run_chunk(points[sl], candidates[sl], prefilter_m)
+            )
+        t.sync(outs[-1][0])
     if len(outs) == 1:
         elements, refs, weights, found, accepted = outs[0]
     else:

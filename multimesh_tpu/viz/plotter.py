@@ -310,7 +310,10 @@ def plot_cross_section(
     all_y = yv[:, None] * rads[None, :] / 1000.0
 
     fig = plt.figure(dpi=300)
-    plt.pcolormesh(all_x, all_y, data.T, cmap=cmap, shading="auto")
+    # gouraud: coordinates ARE the sample points (a curvilinear polar
+    # fan is not monotonic in x/y, which the cell-edge inference of
+    # shading="auto" warns about)
+    plt.pcolormesh(all_x, all_y, data.T, cmap=cmap, shading="gouraud")
     for xm, ym, face in (
         (all_x[5, -5], all_y[5, -5], "k"),
         (all_x[-5, -5], all_y[-5, -5], "w"),

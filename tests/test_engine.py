@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from multimesh_tpu import api
+from multimesh_tpu import engine
 from multimesh_tpu import testing as mmt
 from multimesh_tpu.io import SalvusMesh, Exodus
 
@@ -241,3 +242,38 @@ def test_extract_regular_grid(tmp_path):
 
     back = RegularGridData.from_netcdf(nc)
     np.testing.assert_allclose(back["VP"], ds["VP"])
+
+
+def test_interpolate_to_points_2d(tmp_path, rng):
+    """2D end-to-end through the file-based engine path (the reference
+    supports 2D via the API only, reference README.md:8)."""
+    src = mmt.box_mesh(shape=(6, 6), order=4, warp=0.05)
+    path = tmp_path / "src2d.h5"
+    fields = mmt.write_salvus_fixture(path, src, parameters=("VP",))
+    pts = rng.uniform(0.05, 0.95, size=(300, 2))
+    vals = engine.interpolate_to_points(str(path), pts, ["VP"])
+    oracle_vals, _ = interpolate_np(pts, src.points, fields["VP"], order=4)
+    np.testing.assert_allclose(
+        np.asarray(vals)[:, 0], oracle_vals, rtol=1e-8
+    )
+
+
+def test_exodus_2_exodus_2d(tmp_path, rng):
+    """QUAD4 -> QUAD4 nodal transfer (2D trilinear locate end to end)."""
+    src = mmt.box_mesh(shape=(12, 12), order=1)
+    tgt = mmt.box_mesh(shape=(9, 9), order=1,
+                       extent=[(0.05, 0.95), (0.05, 0.95)])
+    f_a = tmp_path / "a2d.e"
+    f_b = tmp_path / "b2d.e"
+    mmt.write_exodus_fixture(f_a, src, parameters=("VP",))
+    mmt.write_exodus_fixture(f_b, tgt, parameters=("VP",),
+                             field_kind="linear")
+    engine.exodus_2_exodus(str(f_a), str(f_b), parameters=["VP"])
+    from multimesh_tpu.io import exodus as eio
+
+    got = eio.Exodus(str(f_b)).get_nodal_field("VP")
+    oracle_vals, _ = interpolate_np(
+        tgt.vertices, src.points, mmt.element_nodal_field(src, "smooth"),
+        order=1,
+    )
+    np.testing.assert_allclose(got, oracle_vals, rtol=1e-9)

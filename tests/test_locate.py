@@ -201,3 +201,35 @@ def test_locate_ladder_strategy_validation():
     with pytest.raises(ValueError):
         locate(pts, mesh.points, order=1, fallback="fixed_ref",
                engine="pallas", strategy="ladder")
+
+
+def test_locate_f64_polish_refs(rng):
+    """cfg.f64_polish: 2 warm-started f64 Newton iterations push the
+    accepted ref coords from the f32 plateau (~1e-7) below 1e-10 and
+    return f64 refs/weights (VERDICT round-1 item 7)."""
+    from multimesh_tpu.config import Precision
+
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=4)
+    n = 150
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    lad = locate(pts, mesh.points, order=4,
+                 cfg=LocateConfig(f64_polish=True),
+                 fallback="sentinel", engine="pallas", strategy="ladder")
+    truth = locate(pts, mesh.points, order=4,
+                   cfg=LocateConfig(precision=Precision.F64),
+                   fallback="sentinel", engine="xla")
+    assert np.asarray(lad.refs).dtype == np.float64
+    same = (
+        np.asarray(lad.found) & np.asarray(truth.found)
+        & (np.asarray(lad.elements) == np.asarray(truth.elements))
+    )
+    assert same.mean() > 0.9
+    dref = np.max(np.abs(
+        np.asarray(lad.refs)[same] - np.asarray(truth.refs)[same]
+    ))
+    assert dref < 1e-10, dref
