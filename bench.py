@@ -63,8 +63,26 @@ def bench_gll(n_points=None, big_source=False):
         n_points = int(os.environ.get("BENCH_N", 10_000_000))
     if big_source:
         # ~500k-element source: candidates come from the balanced-bin
-        # grid index (E > APPROX_GRID_MIN_SOURCES)
-        src = mmt.shell_mesh(n_lat=80, n_lon=78, n_rad=80, order=order)
+        # grid index (E > APPROX_GRID_MIN_SOURCES).  The host CPU on
+        # this rig is extremely slow (~0.1 Gflop/s), so the one-time
+        # mesh construction is cached on disk.
+        cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_cache", "shell_500k.npz",
+        )
+        if os.path.exists(cache):
+            z = np.load(cache)
+            src = mmt.StructuredMesh(
+                z["points"], z["connectivity"], z["vertices"], order,
+                z["layer_id"],
+            )
+        else:
+            src = mmt.shell_mesh(n_lat=80, n_lon=78, n_rad=80,
+                                 order=order)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez(cache, points=src.points,
+                     connectivity=src.connectivity,
+                     vertices=src.vertices, layer_id=src.layer_id)
     else:
         # ~4k-element order-4 shell source (500k GLL nodes)
         src = mmt.shell_mesh(n_lat=16, n_lon=16, n_rad=16, order=order)

@@ -53,7 +53,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
 
 def _device_knn(points, centroids, k: int):
     """Per-shard exact kNN: |q|^2 - 2qc + |c|^2 matmul (MXU) + top_k.
-    Inputs are already centered by the caller."""
+    Inputs are already centered by the caller.
+
+    Ranking is pure f32 (no split-f32 re-rank as in search.knn), so
+    near-tied candidates can order differently than the single-chip
+    path: first-accept tie-breaks on shared element faces may pick the
+    other (equally valid) neighbor, giving values that agree to
+    interpolation continuity rather than bit-exactly."""
     q32 = points.astype(jnp.float32)
     c32 = centroids.astype(jnp.float32)
     d2 = (

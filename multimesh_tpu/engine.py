@@ -418,12 +418,13 @@ def exodus_2_gll(
                 f"{n_failed} points could not be interpolated."
             )
 
-        # per-node values: gather nodal fields through connectivity
-        vals = np.empty((len(parameters), npoints * n_gll))
-        for i, p in enumerate(parameters):
-            nodal = exo.get_nodal_field(p)
-            field = nodal[conn]  # [E, 2^d] element-nodal view
-            vals[i] = op.apply(field)
+        # per-node values: gather nodal fields through connectivity and
+        # apply all parameters in ONE device pass (a single result pull
+        # instead of one slow host transfer per parameter)
+        fields = np.stack(
+            [exo.get_nodal_field(p)[conn] for p in parameters]
+        )  # [F, E, 2^d]
+        vals = np.asarray(op.apply(fields)).T.astype(np.float64)
 
         sio.recreate_dataset(gll, parameters, model_path, coordinates_path)
         gll[model_path][:, :, :] = vals.reshape(

@@ -840,7 +840,7 @@ def locate(
 
         with stage_timer("locate.knn") as t:
             if use_approx:
-                k = min(k, 12)
+                k = min(k, 8)
                 # 4 probed bins (vs the public default 8) is plenty for
                 # CANDIDATE generation: the ladder re-probes 16 bins for
                 # any point these candidates fail to accept

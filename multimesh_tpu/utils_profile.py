@@ -42,12 +42,14 @@ class _StageTimer:
         """Force completion of a device value before the timer stops.
 
         On the axon platform ``block_until_ready`` does not actually
-        block, so completion is forced with a scalar host transfer.
+        block, so completion is forced with a SCALAR host transfer --
+        the first element is sliced on device first; pulling the whole
+        array would time the (MB/s-slow) host link instead of the chip.
         """
         if device_value is not None:
             try:
-                arr = device_value
-                float(np.asarray(arr).ravel()[0])
+                first = device_value.ravel()[0]  # device-side slice
+                float(np.asarray(first))
             except Exception:
                 pass
         return device_value
