@@ -133,6 +133,83 @@ def bench_gll(n_points=None, big_source=False):
     }
 
 
+def bench_gll_100m():
+    """The north-star workload on ONE chip: a 100M-point GLL->GLL
+    transfer (BASELINE.json targets 100M < 10 s on a v5e-8).  Query
+    points are generated on-device (the throttled host CPU would need
+    ~10 minutes to synthesize 100M points) and accuracy is checked
+    on-device against the analytic field.
+    """
+    import jax
+    import jax.numpy as jnp
+    from multimesh_tpu import testing as mmt
+    from multimesh_tpu.config import LocateConfig, Precision
+    from multimesh_tpu.ops import TransferOperator
+
+    order = 4
+    n_points = int(os.environ.get("BENCH_N", 100_000_000))
+    src = mmt.shell_mesh(n_lat=16, n_lon=16, n_rad=16, order=order)
+    params = ("VP", "VS", "RHO")
+    base = mmt.element_nodal_field(src, "smooth")
+    fields = np.stack([base * (1 + 0.1 * i) for i in range(len(params))])
+    fields_dev = jnp.asarray(fields)
+
+    @jax.jit
+    def make_points(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        r = jax.random.uniform(k1, (n_points,), jnp.float32, 3.6e6, 6.3e6)
+        th = jax.random.uniform(k2, (n_points,), jnp.float32, 0.55, 1.15)
+        ph = jax.random.uniform(k3, (n_points,), jnp.float32, 0.35, 1.35)
+        # f32 point coordinates: eager ops on [1e8, 3] f64 arrays trip
+        # padded-layout copies (f64 tiling pads the minor dim 3 -> 128, a
+        # 102 GB copy); f32 behaves, and the accuracy bookkeeping is
+        # exact because the analytic truth is evaluated at the SAME
+        # (f32) coordinates
+        return jnp.stack(
+            [r * jnp.sin(th) * jnp.cos(ph), r * jnp.sin(th) * jnp.sin(ph),
+             r * jnp.cos(th)], -1)
+
+    pts_dev = make_points(jax.random.PRNGKey(0))
+    float(jnp.sum(pts_dev[:1]))
+
+    cfg = LocateConfig(nelem_to_search=20, precision=Precision.MIXED)
+
+    def run():
+        op = TransferOperator.build(
+            src.points, pts_dev, order=order, cfg=cfg, fallback="snap",
+        )
+        vals = op.apply(fields_dev)
+        float(jnp.sum(vals[:1, 0]))
+        return op, vals
+
+    run()
+    t0 = time.time()
+    op, vals = run()
+    dt = time.time() - t0
+
+    @jax.jit
+    def rel_err(v):
+        # analytic field at the query coordinates, on device
+        truth = mmt.smooth_field_jnp(pts_dev)
+        return jnp.max(jnp.abs(v[:, 0] - truth) / jnp.abs(truth))
+
+    err = float(rel_err(vals))
+    rate = n_points / dt / 1e6
+    return {
+        "metric": (
+            f"GLL->GLL remap, {n_points} pts on ONE chip (north star: "
+            "100M < 10 s on 8 chips)"
+        ),
+        "value": round(rate, 4),
+        "unit": "M points/s/chip",
+        "vs_baseline": round(rate / NORTH_STAR_RATE, 4),
+        "wall_s": round(dt, 3),
+        "interp_rel_err_vs_analytic": err,
+        "n_points": n_points,
+        "n_source_elements": src.nelem,
+    }
+
+
 def bench_exodus():
     """Config 2: Exodus->Exodus nodal transfer, ~100k nodes, 1 param."""
     from multimesh_tpu import testing as mmt
@@ -325,6 +402,7 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "gll")
     fn = {
         "gll": bench_gll,
+        "gll100m": bench_gll_100m,
         "gll_big": lambda: bench_gll(big_source=True),
         "exodus": bench_exodus,
         "exodus_gll": bench_exodus_gll,

@@ -824,32 +824,40 @@ def locate(
             "sentinel/snap/best fallback mode"
         )
 
-    prep = _mesh_prep(elem_nodes, order, d, engine,
-                      want_lo=use_ladder and cfg.f64_polish)
+    from ..utils_profile import stage_timer as _stage_timer
+
+    with _stage_timer("locate.prep"):
+        prep = _mesh_prep(elem_nodes, order, d, engine,
+                          want_lo=use_ladder and cfg.f64_polish)
     if centroids is None:
         centroids = prep["centroids"]
-    if candidates is None:
+    knn_per_chunk = candidates is None
+    if knn_per_chunk:
         k = min(cfg.nelem_to_search, elem_nodes.shape[0])
-        # the ladder's exact-kNN rescue round restores any candidates the
-        # approximate search drops AND re-searches with the full
-        # nelem_to_search budget, so the fast path can run approximate
-        # with a smaller k (candidates beyond ~12 almost never accept
-        # first; the rescue covers the tail)
+        # the ladder's rescue rounds restore any candidates the
+        # approximate search drops AND re-search with the full
+        # nelem_to_search budget, so the fast path runs approximate with
+        # a small k (candidates beyond ~8 almost never accept first).
+        # Candidates are computed PER CHUNK inside the loop: a global
+        # [N, k] int32 array gets a tiled device layout that pads
+        # k -> 128 lanes (51 GB at 100M points).
         use_approx = use_ladder and not interpret
-        from ..utils_profile import stage_timer
+        if use_approx:
+            k = min(k, 8)
 
-        with stage_timer("locate.knn") as t:
-            if use_approx:
-                k = min(k, 8)
-                # 4 probed bins (vs the public default 8) is plenty for
-                # CANDIDATE generation: the ladder re-probes 16 bins for
-                # any point these candidates fail to accept
-                _, candidates = _knn(centroids, points, k, approx=True,
+        def chunk_candidates(pts_c):
+            with _stage_timer("locate.knn") as t:
+                if use_approx:
+                    # 4 probed bins (vs the public default 8) is plenty
+                    # for CANDIDATE generation: the ladder re-probes 16
+                    # bins for any point these candidates fail to accept
+                    _, cand_c = _knn(centroids, pts_c, k, approx=True,
                                      n_probe=4)
-            else:
-                _, candidates = _knn(centroids, points, k)
-            t.sync(candidates)
-    candidates = jnp.asarray(candidates)
+                else:
+                    _, cand_c = _knn(centroids, pts_c, k)
+                return t.sync(jnp.asarray(cand_c))
+    else:
+        candidates = jnp.asarray(candidates)
 
     corners = prep["corners"]
     lo, hi = prep["lo"], prep["hi"]
@@ -908,15 +916,17 @@ def locate(
             )
         return tuple(o[:n] for o in out)
 
-    from ..utils_profile import stage_timer
-
     outs = []
-    with stage_timer("locate.chunks") as t:
+    with _stage_timer("locate.chunks") as t:
         for start in range(0, N, chunk):
             sl = slice(start, min(start + chunk, N))
-            outs.append(
-                run_chunk(points[sl], candidates[sl], prefilter_m)
+            pts_c = points[sl]
+            cand_c = (
+                chunk_candidates(pts_c)
+                if knn_per_chunk
+                else candidates[sl]
             )
+            outs.append(run_chunk(pts_c, cand_c, prefilter_m))
         t.sync(outs[-1][0])
     if len(outs) == 1:
         elements, refs, weights, found, accepted = outs[0]
@@ -927,7 +937,8 @@ def locate(
         found = jnp.concatenate([o[3] for o in outs])
         accepted = jnp.concatenate([o[4] for o in outs])
 
-    if prefilter_m and prefilter_m < candidates.shape[1] and not use_ladder:
+    k_avail = k if knn_per_chunk else candidates.shape[1]
+    if prefilter_m and prefilter_m < k_avail and not use_ladder:
         # Rescue pass: the trilinear prefilter can mis-rank candidates on
         # strongly curved elements (the linear geometry is a poor proxy
         # there), so any point whose prefiltered candidates were never
@@ -937,9 +948,13 @@ def locate(
         retry = np.where(~np.asarray(accepted))[0]
         if retry.size:
             retry_j = jnp.asarray(retry)
-            r_el, r_ref, r_w, r_f, _ = run_chunk(
-                points[retry_j], candidates[retry_j], 0
+            pts_r = points[retry_j]
+            cand_r = (
+                chunk_candidates(pts_r)
+                if knn_per_chunk
+                else candidates[retry_j]
             )
+            r_el, r_ref, r_w, r_f, _ = run_chunk(pts_r, cand_r, 0)
             elements = elements.at[retry_j].set(r_el)
             refs = refs.at[retry_j].set(r_ref)
             weights = weights.at[retry_j].set(r_w)

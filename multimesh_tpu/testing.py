@@ -264,3 +264,26 @@ def write_exodus_fixture(
         canonical_order=True,
     )
     return nodal
+
+
+def smooth_field_jnp(points, kind: str = "smooth", scale: float = 6.371e6):
+    """Device (jax.numpy) twin of smooth_field for on-device accuracy
+    checks at scales where evaluating 10^8 transcendentals on the host
+    would dominate; Earth-scale normalization by default."""
+    import jax.numpy as jnp
+
+    u = points / scale
+    if kind == "linear":
+        out = 2.0 + u[..., 0] + 0.5 * u[..., 1]
+        if points.shape[-1] == 3:
+            out = out - 0.25 * u[..., 2]
+        return out
+    if kind == "smooth":
+        out = (
+            4.5
+            + jnp.sin(3.0 * u[..., 0]) * jnp.cos(2.0 * u[..., 1] + 0.5)
+        )
+        if points.shape[-1] == 3:
+            out = out + 0.3 * jnp.sin(2.0 * u[..., 2] + 1.0)
+        return out
+    raise ValueError(kind)
