@@ -235,23 +235,49 @@ def source_sharded_transfer(
     axis: str = "shards",
     engine: str = "auto",
     retry_frac: int = 4,
+    fallback: str = "sentinel",
 ):
     """Locate + interpolate with SOURCE ELEMENTS sharded across the mesh
     (for sources too large to replicate per chip).
 
     points [N, d]; elem_nodes [E, (p+1)^d, d]; fields [F, E, (p+1)^d].
-    Returns values [N, F] in input order (zero where a point could not
-    be located anywhere -- sentinel semantics).
+    Returns values [N, F] in input order.  ``fallback`` selects the
+    cross-chip failure semantics, mirroring the single-chip modes
+    (search.locate / reference interpolator.py:1217-1233):
+
+    * ``"sentinel"`` -- zero where no chip accepted the point;
+    * ``"best"``     -- the best-scoring candidate across ALL chips is
+      used unclipped if its max |ref| < cfg.fallback_max (the C kernel's
+      semantics, trilinearinterpolator.c:113-137), else zero;
+    * ``"snap"``     -- the best-scoring candidate across all chips with
+      ref coords clipped to +/- cfg.snap_clip (always assigns whenever
+      any candidate's Newton converged anywhere).
 
     Pass 1: each query point runs on the chip owning its nearest source
     bin; the local kNN + Newton scan resolves everything whose enclosing
     element is shard-local.  Pass 2: each chip compacts its first
     P/``retry_frac`` unresolved points, ``all_gather``s them over ICI,
     relocates ALL chips' misses against its local elements, and the
-    per-point winner (min max|ref| across chips) is selected
-    identically on every chip from the all_gathered scores.
+    per-point winner (min max|ref| across chips, computed on UNCLIPPED
+    refs so scores are comparable) is selected identically on every chip
+    from the all_gathered scores.
     """
+    import dataclasses
+
     from ..search.locate import default_engine
+
+    if fallback not in ("sentinel", "best", "snap"):
+        raise ValueError(
+            f"source_sharded_transfer: unknown fallback {fallback!r}"
+        )
+    # snap must keep every converged candidate comparable across chips,
+    # so the internal locate runs in "best" mode with no score ceiling
+    # and the clipping happens at value-assembly time
+    loc_cfg = (
+        dataclasses.replace(cfg, fallback_max=float("inf"))
+        if fallback == "snap"
+        else cfg
+    )
 
     if mesh is None:
         mesh = make_mesh(axis=axis)
@@ -291,6 +317,15 @@ def source_sharded_transfer(
     quantum = pn.BLOCK if engine == "pallas" else 8
     Pp = int(np.ceil(max(counts_p.max(), 1) / quantum) * quantum)
     B = max(Pp // retry_frac, min(Pp, 64))
+    if engine == "pallas":
+        # pass 2 runs the pallas _locate_chunk on the n_dev*B all_gathered
+        # rows, which must land on the kernel's BLOCK granularity: round B
+        # up to the smallest count whose all-chip total divides BLOCK
+        # (B <= Pp always holds -- Pp is a BLOCK multiple >= this quantum)
+        import math
+
+        bq = pn.BLOCK // math.gcd(pn.BLOCK, n_dev)
+        B = min(int(np.ceil(B / bq) * bq), Pp)
 
     pts_sh = np.zeros((n_dev, Pp, d))
     pts_sh[:] = points[perm_p[0]]  # pad rows: any valid coordinate
@@ -360,16 +395,25 @@ def source_sharded_transfer(
             elements, refs, weights, found, _ = _locate_chunk(
                 rows, cand, nodes, corners, (lo, hi),
                 centering, nodes_c32, corners_c32,
-                order, cfg, jnp.float32, False, "best", 0, engine,
+                order, loc_cfg, jnp.float32, False, "best", 0, engine,
                 interpret,
             )
-            # max|ref| of the chosen candidate: comparable across chips
+            # max|ref| of the chosen candidate, UNCLIPPED: comparable
+            # across chips in every fallback mode
             score = jnp.max(jnp.abs(refs), axis=-1)
             score = jnp.where(found, score, jnp.inf)
             # padding elements can never really accept, but guard anyway
             score = jnp.where(gm[jnp.maximum(elements, 0)] >= 0,
                               score, jnp.inf)
             safe = jnp.maximum(elements, 0)
+            if fallback == "snap":
+                # value assembly clips the chosen refs (reference
+                # snap_to_nearest, interpolator.py:1217-1230); accepted
+                # refs lie within +/-1 so clipping is a no-op for them
+                snapped = jnp.clip(refs, -cfg.snap_clip, cfg.snap_clip)
+                weights = jnp.where(
+                    found[:, None], gll.tensor_basis(order, snapped), 0.0
+                )
             vals = jnp.einsum(
                 "fnk,nk->nf", flds[:, safe, :].astype(weights.dtype),
                 weights,
@@ -377,8 +421,15 @@ def source_sharded_transfer(
             acc = score < cfg.accept_tol
             return acc, score, gm[safe], vals
 
+        # the score ceiling for a point to count as assigned at all
+        limit = {
+            "sentinel": cfg.accept_tol,
+            "best": cfg.fallback_max,
+            "snap": jnp.inf,
+        }[fallback]
+
         # ---- pass 1: local try ---------------------------------------
-        acc1, _, gel1, vals1 = locate_rows(pts)
+        acc1, score1, gel1, vals1 = locate_rows(pts)
 
         # ---- pass 2: all_gather the compacted misses ------------------
         order_p = jnp.argsort(acc1)  # False (misses) first, stable
@@ -396,15 +447,20 @@ def source_sharded_transfer(
             g_vals, winner[None, :, None], 0
         )[0]
         mine = jax.lax.dynamic_slice_in_dim(w_vals, me * B, B, 0)
-        mine_ok = jax.lax.dynamic_slice_in_dim(
-            w_score < cfg.accept_tol, me * B, B, 0
+        mine_score = jax.lax.dynamic_slice_in_dim(w_score, me * B, B, 0)
+        # the global winner replaces the local result only where the
+        # local chip did not already accept (local accepts stay -- the
+        # owning chip holds the nearest candidates, matching the
+        # single-chip first-accept-in-distance-order semantics)
+        upd = (mine_score < score1[idx]) & ~was
+        score_f = score1.at[idx].set(
+            jnp.where(upd, mine_score, score1[idx])
         )
-        upd = mine_ok & ~was
-        vals = jnp.where(acc1[:, None], vals1, 0.0)
-        vals = vals.at[idx].set(
-            jnp.where(upd[:, None], mine, vals[idx])
+        vals_f = vals1.at[idx].set(
+            jnp.where(upd[:, None], mine, vals1[idx])
         )
-        found = acc1.at[idx].set(acc1[idx] | mine_ok)
+        found = score_f < limit
+        vals = jnp.where(found[:, None], vals_f, 0.0)
         return vals[None], found[None]
 
     vals_sh, found_sh = _shard_fn(

@@ -277,11 +277,15 @@ def _host_content_hash(a: np.ndarray) -> bytes:
     blake2b runs at ~16 MB/s on this rig's throttled CPU (~1.5 min for a
     500k-element order-4 mesh, per transfer); numpy integer reduction
     runs at ~4 GB/s.  The buffer is viewed as integers, reshaped
-    [R, 4096], and summed along BOTH axes (wrapping): any single-value
-    change moves its row sum and its column sum, and any transposition
-    of two values moves at least one of them (equal row AND column would
-    be the same cell), so all realistic in-place edits are caught.  The
-    two digest vectors are then blake2b'd (small)."""
+    [R, 4096], and reduced along BOTH axes twice: plain wrapping sums,
+    plus sums weighted by a position-dependent odd multiplier of the
+    *other* axis index.  The plain sums catch any single-value change;
+    the weighted sums are position-sensitive, so coordinated edits that
+    preserve every row and column sum (e.g. +d,-d,-d,+d at the corners
+    of a rectangle) still move the digest: the weighted column sum of a
+    changed column shifts by d*(w[r1]-w[r2]), nonzero for distinct rows
+    because i -> i*odd+1 is injective mod 2^64.  The four digest
+    vectors are then blake2b'd (small)."""
     a = np.ascontiguousarray(a)
     if a.itemsize == 8:
         v = a.view(np.uint64).reshape(-1)
@@ -294,12 +298,22 @@ def _host_content_hash(a: np.ndarray) -> bytes:
     C = 4096
     R = v.shape[0] // C
     head = v[: R * C].reshape(R, C) if R else v.reshape(1, -1)
+    dt = v.dtype
     with np.errstate(over="ignore"):
-        col = head.sum(axis=0, dtype=v.dtype)
-        row = head.sum(axis=1, dtype=v.dtype)
+        col = head.sum(axis=0, dtype=dt)
+        row = head.sum(axis=1, dtype=dt)
+        mask = (1 << (8 * a.itemsize)) - 1
+        w_r = (np.arange(head.shape[0], dtype=dt)
+               * dt.type(2654435761 & mask | 1) + dt.type(1))
+        w_c = (np.arange(head.shape[1], dtype=dt)
+               * dt.type(40503 & mask | 1) + dt.type(1))
+        col_w = (head * w_r[:, None]).sum(axis=0, dtype=dt)
+        row_w = (head * w_c[None, :]).sum(axis=1, dtype=dt)
     h = hashlib.blake2b(digest_size=16)
     h.update(col.tobytes())
     h.update(row.tobytes())
+    h.update(col_w.tobytes())
+    h.update(row_w.tobytes())
     h.update(v[R * C:].tobytes())  # unaligned tail, < C elements
     return h.digest()
 

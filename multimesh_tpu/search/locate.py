@@ -319,10 +319,9 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
     any candidates an approximate search dropped) and scans all K
     columns.  First-accept-in-distance-order semantics are identical to
     the sequential scan for every rescued point; points beyond the
-    rescue capacity (only plausible when most points lie outside the
-    mesh) fall back on the best candidate evaluated so far, which for
-    exterior points is the nearest-centroid element the reference's
-    snap fallback would typically pick anyway.
+    rescue capacity are reported in the ``needs_retry`` output and
+    re-run by ``locate`` through the exhaustive scan, so no interior
+    point ever silently degrades to a sentinel/snap fallback.
     """
     C, d = points.shape
     K = cand.shape[1]
@@ -423,12 +422,34 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
         return jnp.argsort(key)
 
     state = (elem, ref, acc, best_max, best_ref, best_elem)
+    # full_op marks rows that received a FULL location opportunity: the
+    # round-4 re-search (exact/grid: fresh full-budget candidate list) or,
+    # for caller-provided candidate lists, having scanned every column.
+    # Unaccepted rows without it may simply have been crowded out of the
+    # finite rescue buckets -- the caller (locate) re-runs exactly those
+    # rows through the exhaustive scan path, so interior points can never
+    # silently fall through to sentinel/snap when >~40% of a chunk fails
+    # round 1 (thin-element layered meshes).
+    full_op = jnp.zeros((C,), bool)
+    own_list = rescue_mode in ("tail", "none")
+    if own_list and K == 1:
+        full_op = jnp.ones((C,), bool)  # round 1 was the whole list
     # ---- round 2: next 3 candidates for the C/4 most-promising failures
     if K > 1:
         B = max(C // 4, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 1:min(4, K)], idx)
-    # ---- round 3: candidates 4..11 for the C/8 most-promising failures
+        if own_list and K <= 4:
+            full_op = full_op.at[idx].set(True)
+    # ---- round 3: candidates 4..11 for the C/8 most-promising failures.
+    # A row crowded out of round 2 can enter here after other rows accept
+    # and will then skip columns 1..3: if its element IS among those
+    # columns it stays unaccepted and reaches round 4 / the scan retry
+    # (full recall, all columns in order), so the only deviation from the
+    # sequential scan is a tie-break-level element choice for such rows
+    # -- values agree to interpolation continuity.  (Scanning 1..11 here
+    # instead costs ~37% more row-evals in this round for an
+    # ordering-only effect; measured 7% off the 10M headline bench.)
     if K > 4:
         B = max(C // 8, min(C, 256))
         idx = failure_order(state)[:B]
@@ -438,7 +459,8 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
     # candidate list came from the approximate search); "grid" re-probes
     # the balanced-bin index with 4x the bins (large meshes, where a
     # [B, E] distance sweep would not fit); "tail" covers candidate
-    # columns 12..K-1 of a caller-provided list.
+    # columns 1..K-1 of a caller-provided list (again from column 1, for
+    # rows that skipped rounds 2-3).
     if rescue_mode == "exact":
         from .knn import _knn_jit
 
@@ -448,6 +470,7 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
         _, cand4 = _knn_jit(points[idx], centroids, k_full, 4096,
                             jnp.float32, True)
         state = rescue(state, cand4, idx)
+        full_op = full_op.at[idx].set(True)
     elif rescue_mode == "grid":
         from .grid import _center_queries, _grid_query_core
 
@@ -461,12 +484,18 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
             n_probe=16, approx=False,
         )
         state = rescue(state, cand4, idx)
+        full_op = full_op.at[idx].set(True)
     elif rescue_mode == "tail" and K > 12:
         B = max(C // 32, min(C, 128))
         idx = failure_order(state)[:B]
-        state = rescue(state, cand[idx][:, 12:K], idx)
+        state = rescue(state, cand[idx][:, 1:K], idx)
+        full_op = full_op.at[idx].set(True)
 
     elem, ref, acc, best_max, best_ref, best_elem = state
+    needs_retry = ~acc & ~full_op
+    if n_valid is not None and n_valid < C:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+        needs_retry = needs_retry & (rows < n_valid)
 
     # ---- optional f64 polish of accepted pairs ------------------------
     # 2 Newton iterations at f64 on the split-f32-reconstructed geometry,
@@ -534,7 +563,7 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
     if weights is None:
         weights = jnp.zeros((C, 0), w_dt)
     return (elements.astype(jnp.int32), refs.astype(w_dt),
-            weights, found, acc)
+            weights, found, acc, needs_retry)
 
 
 # ---------------------------------------------------------------------------
@@ -886,10 +915,17 @@ def locate(
             grid_data = (gi.bin_reps32, gi.center, gi.bin_elems,
                          gi.bin_coords6)
 
-    def run_chunk(pts_c, cand_c, pm):
-        # Pad every chunk to a power-of-two row count so XLA compiles one
-        # kernel per bucket instead of one per distinct batch size (and to
-        # the pallas BLOCK granularity when that engine is active).
+    # the scan path gathers from the raw lattice (xla engine): convert
+    # once here, not per chunk -- a numpy input would otherwise re-upload
+    # the full f64 lattice on every chunk (and again on retries).  The
+    # ladder/pallas path never needs it on device at all, so it gets a
+    # tiny placeholder there.
+    if use_ladder and engine == "pallas":
+        elem_nodes_dev = jnp.zeros((1, 1, d), jnp.float32)
+    else:
+        elem_nodes_dev = jnp.asarray(elem_nodes)
+
+    def run_scan_chunk(pts_c, cand_c, pm):
         n = pts_c.shape[0]
         bucket = max(min_bucket, 1 << max(0, (n - 1)).bit_length())
         if bucket != n:
@@ -900,21 +936,40 @@ def locate(
             cand_c = jnp.concatenate(
                 [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
             )
+        out = _locate_chunk(
+            pts_c, cand_c, elem_nodes_dev, corners, (lo, hi),
+            centering, nodes_c32, corners_c32,
+            order, cfg, dtype, use_aabb, fallback, pm, engine,
+            interpret, want_weights,
+        )
+        return tuple(o[:n] for o in out)
+
+    def run_chunk(pts_c, cand_c, pm):
+        # Pad every chunk to a power-of-two row count so XLA compiles one
+        # kernel per bucket instead of one per distinct batch size (and to
+        # the pallas BLOCK granularity when that engine is active).
+        n = pts_c.shape[0]
         if use_ladder:
+            bucket = max(min_bucket, 1 << max(0, (n - 1)).bit_length())
+            if bucket != n:
+                reps = bucket - n
+                pts_c = jnp.concatenate(
+                    [pts_c, jnp.repeat(pts_c[:1], reps, axis=0)]
+                )
+                cand_c = jnp.concatenate(
+                    [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
+                )
             out = _ladder_chunk(
                 pts_c, cand_c, centroids, nodes_c32, centering, (lo, hi),
                 grid_data, nodes_lo,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
                 rescue_mode, n_valid=n,
             )
-        else:
-            out = _locate_chunk(
-                pts_c, cand_c, jnp.asarray(elem_nodes), corners, (lo, hi),
-                centering, nodes_c32, corners_c32,
-                order, cfg, dtype, use_aabb, fallback, pm, engine,
-                interpret, want_weights,
-            )
-        return tuple(o[:n] for o in out)
+            return tuple(o[:n] for o in out)
+        out = run_scan_chunk(pts_c, cand_c, pm)
+        # scan evaluates every candidate column for every point: nothing
+        # can be crowded out, so no row ever needs a retry
+        return out + (jnp.zeros((n,), bool),)
 
     outs = []
     with _stage_timer("locate.chunks") as t:
@@ -929,13 +984,47 @@ def locate(
             outs.append(run_chunk(pts_c, cand_c, prefilter_m))
         t.sync(outs[-1][0])
     if len(outs) == 1:
-        elements, refs, weights, found, accepted = outs[0]
+        elements, refs, weights, found, accepted, needs_retry = outs[0]
     else:
         elements = jnp.concatenate([o[0] for o in outs])
         refs = jnp.concatenate([o[1] for o in outs])
         weights = jnp.concatenate([o[2] for o in outs])
         found = jnp.concatenate([o[3] for o in outs])
         accepted = jnp.concatenate([o[4] for o in outs])
+        needs_retry = jnp.concatenate([o[5] for o in outs])
+
+    if use_ladder and int(jnp.sum(needs_retry)) > 0:
+        # Crowded-out rows: unaccepted points that never reached the
+        # ladder's full-recall round (possible when more than ~40% of a
+        # chunk fails round 1, e.g. thin-element layered meshes).  Re-run
+        # exactly those rows through the exhaustive scan with fresh
+        # exact candidates, so the ladder's accept semantics degrade to
+        # the scan's -- never to a silent sentinel/snap on an interior
+        # point.  (Scalar count first: pulling the whole bool mask to
+        # host on every call would cost ~N bytes over the tunnel.)
+        retry = np.where(np.asarray(needs_retry))[0]
+        k_full = min(cfg.nelem_to_search, elem_nodes.shape[0])
+        retry_j = jnp.asarray(retry)
+        pts_r = points[retry_j]
+        with _stage_timer("locate.ladder_retry"):
+            if knn_per_chunk:
+                _, cand_r = _knn(centroids, pts_r, k_full)
+                cand_r = jnp.asarray(cand_r)
+            else:
+                cand_r = candidates[retry_j]
+            # scan-retried rows carry the engine's native (f32) ref
+            # precision -- the f64 polish only covers ladder-accepted rows
+            r_el, r_ref, r_w, r_f, _acc = run_scan_chunk(
+                pts_r, cand_r, 0
+            )
+            elements = elements.at[retry_j].set(r_el)
+            refs = refs.at[retry_j].set(r_ref.astype(refs.dtype))
+            if want_weights:
+                weights = weights.at[retry_j].set(
+                    r_w.astype(weights.dtype)
+                )
+            found = found.at[retry_j].set(r_f)
+            accepted = accepted.at[retry_j].set(_acc)
 
     k_avail = k if knn_per_chunk else candidates.shape[1]
     if prefilter_m and prefilter_m < k_avail and not use_ladder:
@@ -954,7 +1043,7 @@ def locate(
                 if knn_per_chunk
                 else candidates[retry_j]
             )
-            r_el, r_ref, r_w, r_f, _ = run_chunk(pts_r, cand_r, 0)
+            r_el, r_ref, r_w, r_f, _, _ = run_chunk(pts_r, cand_r, 0)
             elements = elements.at[retry_j].set(r_el)
             refs = refs.at[retry_j].set(r_ref)
             weights = weights.at[retry_j].set(r_w)

@@ -144,29 +144,22 @@ def greatcircle_points(
     Matches the reference's sampling convention (i * s12 / npts for
     i in 0..npts-1, i.e. the end point itself is excluded; reference
     utils.py:545-574).  The reference uses the WGS84 geodesic via
-    geographiclib; that package is unavailable here, so when it cannot be
-    imported an exact spherical great circle (slerp) is used -- within
-    ~0.2% of the ellipsoidal path, ample for visualization sampling.
+    geographiclib; here the same ellipsoidal path is computed natively
+    (multimesh_tpu.geodesic, Vincenty inverse + direct, ~0.5 mm
+    accuracy).  Only for nearly antipodal endpoints -- where Vincenty's
+    iteration diverges -- does sampling fall back to an exact spherical
+    great circle (within ~0.2% of the ellipsoidal path).
     """
     if npts < 3:
         raise ValueError("need at least 3 points")
-    try:  # pragma: no cover - dependency not present in CI image
-        from geographiclib import geodesic
+    from . import geodesic as geod
 
-        g = geodesic.Geodesic.WGS84.Inverse(
-            lat1=point_1_lat, lon1=point_1_lng,
-            lat2=point_2_lat, lon2=point_2_lng,
+    try:
+        return geod.waypoints(
+            point_1_lat, point_1_lng, point_2_lat, point_2_lng, npts
         )
-        line = geodesic.Geodesic.WGS84.Line(
-            point_1_lat, point_1_lng, g["azi1"]
-        )
-        pts = []
-        for i in range(npts):
-            pos = line.Position(i * g["s12"] / float(npts))
-            pts.append([pos["lat2"], pos["lon2"]])
-        return np.array(pts)
-    except ImportError:
-        pass
+    except geod.GeodesicError:
+        pass  # nearly antipodal: spherical slerp below
 
     def unit(lat, lon):
         la, lo = np.deg2rad(lat), np.deg2rad(lon)
@@ -216,21 +209,66 @@ class RegularGridData:
         return {"depth": self.depth, "latitude": self.lat,
                 "longitude": self.lon}
 
-    def to_netcdf(self, path: Union[str, pathlib.Path]):
+    def to_netcdf(self, path: Union[str, pathlib.Path],
+                  format: str = "NETCDF4"):
+        """Serialize to NetCDF.
+
+        ``format="NETCDF4"`` (default, matching what the reference's
+        ``xarray.Dataset.to_netcdf`` produces, reference api.py:639-642)
+        writes an HDF5-based netCDF4 file via h5py using dimension
+        scales -- readable by netCDF4-python, h5netcdf and xarray.
+        ``format="NETCDF3_64BIT"`` writes a classic v2 file via scipy
+        (no HDF5), readable by xarray's scipy engine.
+        """
+        if format == "NETCDF4":
+            self._to_netcdf4(path)
+        elif format in ("NETCDF3_64BIT", "NETCDF3_CLASSIC"):
+            self._to_netcdf3(path, version=2 if format.endswith("64BIT")
+                             else 1)
+        else:
+            raise ValueError(f"unknown NetCDF format {format!r}")
+
+    _COORD_UNITS = (("depth", "m"), ("latitude", "deg"),
+                    ("longitude", "deg"))
+
+    def _coord_items(self):
+        return (("depth", self.depth), ("latitude", self.lat),
+                ("longitude", self.lon))
+
+    def _to_netcdf4(self, path):
+        import h5py
+
+        with h5py.File(str(path), "w") as f:
+            units = dict(self._COORD_UNITS)
+            scales = {}
+            for name, arr in self._coord_items():
+                v = f.create_dataset(name,
+                                     data=np.asarray(arr, np.float64))
+                # netCDF4 dimension-with-coordinate-variable convention:
+                # the coordinate dataset IS the HDF5 dimension scale
+                v.make_scale(name)
+                v.attrs["units"] = units[name]
+                scales[name] = v
+            for name, arr in self.data.items():
+                v = f.create_dataset(name,
+                                     data=np.asarray(arr, np.float64))
+                for ax, dim in enumerate(("depth", "latitude",
+                                          "longitude")):
+                    v.dims[ax].attach_scale(scales[dim])
+            f.attrs["radius_in_meters"] = float(
+                self.attrs.get("radius_in_meters", R_EARTH_M)
+            )
+
+    def _to_netcdf3(self, path, version: int = 2):
         from scipy.io import netcdf_file
 
-        with netcdf_file(str(path), "w", version=2) as f:
-            f.createDimension("depth", len(self.depth))
-            f.createDimension("latitude", len(self.lat))
-            f.createDimension("longitude", len(self.lon))
-            for name, arr, unit in (
-                ("depth", self.depth, "m"),
-                ("latitude", self.lat, "deg"),
-                ("longitude", self.lon, "deg"),
-            ):
+        with netcdf_file(str(path), "w", version=version) as f:
+            units = dict(self._COORD_UNITS)
+            for name, arr in self._coord_items():
+                f.createDimension(name, len(arr))
                 v = f.createVariable(name, "d", (name,))
                 v[:] = np.asarray(arr, np.float64)
-                v.units = unit.encode()
+                v.units = units[name].encode()
             for name, arr in self.data.items():
                 v = f.createVariable(
                     name, "d", ("depth", "latitude", "longitude")
@@ -242,6 +280,25 @@ class RegularGridData:
 
     @classmethod
     def from_netcdf(cls, path: Union[str, pathlib.Path]) -> "RegularGridData":
+        """Read either NetCDF flavor back (sniffs the HDF5 magic)."""
+        with open(str(path), "rb") as fh:
+            magic = fh.read(8)
+        if magic == b"\x89HDF\r\n\x1a\n":
+            import h5py
+
+            with h5py.File(str(path), "r") as f:
+                lat = np.asarray(f["latitude"][:])
+                lon = np.asarray(f["longitude"][:])
+                depth = np.asarray(f["depth"][:])
+                data = {
+                    k: np.asarray(v[:])
+                    for k, v in f.items()
+                    if k not in ("latitude", "longitude", "depth")
+                }
+                attrs = {"radius_in_meters": float(
+                    f.attrs.get("radius_in_meters", R_EARTH_M))}
+            return cls(lat=lat, lon=lon, depth=depth, data=data,
+                       attrs=attrs)
         from scipy.io import netcdf_file
 
         with netcdf_file(str(path), "r", mmap=False) as f:

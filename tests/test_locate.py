@@ -233,3 +233,27 @@ def test_locate_f64_polish_refs(rng):
         np.asarray(lad.refs)[same] - np.asarray(truth.refs)[same]
     ))
     assert dref < 1e-10, dref
+
+
+def test_locate_ladder_mass_failure_rescued(rng):
+    """When far more points fail round 1 than the rescue buckets hold
+    (adversarial candidate lists: the true element hidden in the LAST
+    column), every interior point must still be located -- the ladder
+    reports crowded-out rows and locate re-runs them through the
+    exhaustive scan (ADVICE round-2 medium: locate.py rescue capacity)."""
+    mesh = mmt.box_mesh(shape=(4, 4, 4), order=1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(600, 3))
+    truth = locate(pts, mesh.points, order=1, fallback="sentinel",
+                   engine="xla")
+    true_el = np.asarray(truth.elements)
+    assert (true_el >= 0).all()
+    # column 0 deliberately wrong for (almost) every point: >90% of the
+    # chunk fails round 1, far beyond the C/4 + C/8 + C/32 bucket budget
+    cand = np.stack([np.zeros_like(true_el), true_el], axis=1)
+    lad = locate(pts, mesh.points, order=1, fallback="sentinel",
+                 engine="pallas", strategy="ladder", candidates=cand)
+    assert np.asarray(lad.found).all()
+    mine = _interp(lad, field)
+    expected = _interp(truth, field)
+    np.testing.assert_allclose(mine, expected, rtol=5e-5)

@@ -107,3 +107,58 @@ def test_partition_source_balanced():
     assert sizes.sum() == mesh.nelem
     assert np.concatenate(ids).size == np.unique(np.concatenate(ids)).size
     assert sizes.max() <= sizes.min() + 40  # one bin of slack
+
+
+def test_source_sharded_pallas_small_mesh(rng):
+    """Pass 2 of the source-sharded path runs the pallas kernel on the
+    n_dev*B all_gathered rows; with few devices that total must be
+    rounded up to the kernel BLOCK or tracing crashes (ADVICE round-2
+    medium: dist/sharding.py DB % BLOCK)."""
+    from multimesh_tpu.dist import source_sharded_transfer
+
+    mesh = mmt.box_mesh(shape=(4, 4, 4), order=1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(200, 3))
+    cfg = LocateConfig(nelem_to_search=4)
+    vals = source_sharded_transfer(
+        pts, mesh.points, field[None], order=1, cfg=cfg,
+        mesh=make_mesh(2), engine="pallas",
+    )
+    op = TransferOperator.build(mesh.points, pts, order=1, cfg=cfg,
+                                fallback="sentinel")
+    expected = np.asarray(op.apply(field[None]))
+    found = expected[:, 0] != 0
+    assert found.mean() > 0.99
+    np.testing.assert_allclose(vals[found], expected[found], rtol=1e-5)
+
+
+@pytest.mark.parametrize("fallback", ["snap", "best"])
+def test_source_sharded_fallback_modes(fallback, rng):
+    """Cross-chip snap/best combine (PARITY known gap, round 2): exterior
+    points must resolve to the best-scoring candidate across ALL source
+    shards, matching the single-chip fallback semantics."""
+    from multimesh_tpu.dist import source_sharded_transfer
+
+    mesh = mmt.box_mesh(shape=(6, 6, 6), order=2, warp=0.05)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts = rng.uniform(0.05, 0.95, size=(300, 3))
+    pts[:40] = rng.uniform(1.0, 1.02, size=(40, 3))  # just outside
+
+    cfg = LocateConfig(nelem_to_search=8)
+    vals = source_sharded_transfer(
+        pts, mesh.points, field[None], order=2, cfg=cfg,
+        mesh=make_mesh(), fallback=fallback,
+    )
+    op = TransferOperator.build(mesh.points, pts, order=2, cfg=cfg,
+                                fallback=fallback)
+    expected = np.asarray(op.apply(field[None]))
+    # every point (interior AND just-outside) must be assigned
+    assert (vals[:, 0] != 0).all()
+    # interior points: interpolation-continuity agreement; snapped
+    # exterior points may pick a different boundary element across the
+    # shard split, so compare those to the smooth field loosely
+    np.testing.assert_allclose(vals[40:], expected[40:], rtol=1e-4)
+    np.testing.assert_allclose(
+        vals[:40, 0], mmt.smooth_field(np.clip(pts[:40], 0, 1)),
+        atol=0.05,
+    )

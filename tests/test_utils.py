@@ -97,3 +97,38 @@ def test_regular_grid_dataset_roundtrip(tmp_path):
     np.testing.assert_allclose(back["VP"], ds["VP"])
     np.testing.assert_allclose(back.lat, lat)
     np.testing.assert_allclose(back.depth, depth)
+
+
+def test_regular_grid_netcdf4_hdf5_layout(tmp_path):
+    """The default NETCDF4 flavor (matching the reference's xarray
+    to_netcdf output, reference api.py:639-642) must be an HDF5 file
+    using the netCDF4 dimension-scale convention, and round-trip."""
+    import h5py
+
+    lat = np.linspace(-10, 10, 5)
+    lon = np.linspace(0, 30, 7)
+    depth = np.linspace(0, 1e5, 3)
+    ds = utils.create_dataset_grid(lat, lon, depth)
+    ds.data["VP"] = np.arange(3 * 5 * 7, dtype=float).reshape(3, 5, 7)
+    p = tmp_path / "grid4.nc"
+    ds.to_netcdf(p, format="NETCDF4")
+
+    with open(p, "rb") as fh:
+        assert fh.read(8) == b"\x89HDF\r\n\x1a\n"
+    with h5py.File(p, "r") as f:
+        # coordinate variables are HDF5 dimension scales...
+        assert f["latitude"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        # ...and the data variable's axes are attached to them
+        assert f["VP"].dims[0][0] == f["depth"]
+        assert f["VP"].dims[1][0] == f["latitude"]
+        assert f["VP"].dims[2][0] == f["longitude"]
+        assert f["latitude"].attrs["units"] == "deg"
+    back = utils.RegularGridData.from_netcdf(p)
+    np.testing.assert_allclose(back["VP"], ds["VP"])
+    np.testing.assert_allclose(back.lon, lon)
+
+    # the classic flavor still round-trips through the same reader
+    p3 = tmp_path / "grid3.nc"
+    ds.to_netcdf(p3, format="NETCDF3_64BIT")
+    back3 = utils.RegularGridData.from_netcdf(p3)
+    np.testing.assert_allclose(back3["VP"], ds["VP"])
