@@ -385,6 +385,8 @@ def exodus_2_gll(
     against the hex corners with the C kernel's acceptance semantics
     (accept 1.025, best-so-far below 1.5).
     """
+    from .utils_profile import stage_timer
+
     exo = eio.Exodus(mesh)
     parameters = utils.pick_parameters(parameters)
     missing = [p for p in parameters if p not in exo.nodal_parameters]
@@ -394,11 +396,13 @@ def exodus_2_gll(
             f"has {exo.nodal_parameters}"
         )
 
-    corner_nodes = exo.canonical_corner_nodes()  # [E, 2^d, d]
-    conn = exo.canonical_connectivity()
+    with stage_timer("e2g.read_exodus"):
+        corner_nodes = exo.canonical_corner_nodes()  # [E, 2^d, d]
+        conn = exo.canonical_connectivity()
 
     with h5py.File(str(gll_model), "r+") as gll:
-        coords = np.asarray(gll[coordinates_path][()], np.float64)
+        with stage_timer("e2g.read_gll_coords"):
+            coords = np.asarray(gll[coordinates_path][()], np.float64)
         npoints, n_gll, dim = coords.shape
 
         cfg = LocateConfig(
@@ -421,15 +425,23 @@ def exodus_2_gll(
         # per-node values: gather nodal fields through connectivity and
         # apply all parameters in ONE device pass (a single result pull
         # instead of one slow host transfer per parameter)
-        fields = np.stack(
-            [exo.get_nodal_field(p)[conn] for p in parameters]
-        )  # [F, E, 2^d]
-        vals = np.asarray(op.apply(fields)).T.astype(np.float64)
+        with stage_timer("e2g.gather_fields"):
+            fields = np.stack(
+                [exo.get_nodal_field(p)[conn] for p in parameters]
+            )  # [F, E, 2^d]
+        with stage_timer("e2g.apply"):
+            vals_dev = op.apply(fields)
+        with stage_timer("e2g.pull_result"):
+            vals = np.asarray(vals_dev).T.astype(np.float64)
 
-        sio.recreate_dataset(gll, parameters, model_path, coordinates_path)
-        gll[model_path][:, :, :] = vals.reshape(
-            len(parameters), npoints, n_gll
-        ).swapaxes(0, 1)
+        with stage_timer("e2g.write_h5"):
+            sio.recreate_dataset(
+                gll, parameters, model_path, coordinates_path
+            )
+            gll[model_path][:, :, :] = np.ascontiguousarray(
+                vals.reshape(len(parameters), npoints, n_gll)
+                .swapaxes(0, 1)
+            )
 
 
 def gll_2_exodus(

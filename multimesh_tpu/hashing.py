@@ -1,0 +1,113 @@
+"""Memory-speed content hashing of host arrays.
+
+Operator caches and grid-index reuse must be keyed by the *content* of
+the source/target geometry: the reference's name-only ``.npy`` caches
+silently reuse weights across different meshes of equal size (reference
+multi_mesh/components/interpolator.py:724-740).  blake2b over every byte
+would be safe but runs at ~16 MB/s on this rig's throttled host CPU
+(~1.5 min per 1.5 GB mesh, paid once per transfer); the digest below is
+a position-sensitive numpy reduction that runs at memory speed
+(~1 GB/s measured) and still detects every byte-level change plus the
+coordinated-edit collision classes a plain checksum misses.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def content_hash(a: np.ndarray) -> bytes:
+    """Full-coverage 16-byte content digest of a host array.
+
+    The buffer is viewed as uint32, reshaped [R, 4096], and reduced
+    along BOTH axes twice: plain wrapping sums, plus sums weighted by a
+    position-dependent odd multiplier of the *other* axis index.  The
+    plain sums catch any single-value change; the weighted sums are
+    position-sensitive, so coordinated edits that preserve every row and
+    column sum (e.g. +d,-d,-d,+d at the corners of a rectangle) still
+    move the digest: the weighted column sum of a changed column shifts
+    by d*(w[r1]-w[r2]), nonzero for distinct rows because i -> i*odd+1
+    is injective mod 2^32.  The four digest vectors are then blake2b'd
+    (small).
+
+    Implementation notes for this rig: a column-vector broadcast
+    multiply (``head * w_r[:, None]``) runs ~100x slower than the sums
+    (scalar inner loop + fresh large allocation), so the row-weighted
+    column sum is computed with ADDS ONLY via a two-level fold that is
+    algebraically identical mod 2^32:
+
+      sum_i (i*q+1) * x[i,:]  =  q * sum_i i*x[i,:] + colsum
+      sum_i i*x[i,:]          =  g * sum_G G*gsum[G,:] + sum_j j*fold[j,:]
+
+    where rows are grouped into G groups of g (i = G*g + j),
+    gsum = group sums, fold = sum over groups of each in-group offset.
+    The two small weighted sums run as per-row scalar multiplies.  The
+    column-weighted row sum keeps the (fast) row-vector broadcast but
+    writes into a preallocated block buffer to avoid large allocs."""
+    a = np.ascontiguousarray(a)
+    # uint32 view regardless of input dtype (uint64 multiply is a
+    # scalar loop on this rig); sub-4-byte tail hashes separately
+    b8 = a.reshape(-1).view(np.uint8)
+    n32 = b8.shape[0] // 4
+    v = b8[: n32 * 4].view(np.uint32)
+    tail_bytes = b8[n32 * 4 :]
+    C = 4096
+    R = n32 // C
+    head = v[: R * C].reshape(R, C) if R else v.reshape(1, -1)
+    Rh, Ch = head.shape
+    dt = np.dtype(np.uint32)
+    q_r = dt.type((2654435761 & 0xFFFFFFFF) | 1)
+    w_c = (np.arange(Ch, dtype=dt)
+           * dt.type((40503 & 0xFFFFFFFF) | 1) + dt.type(1))
+
+    def _iweighted(m):
+        # sum_j j*m[j,:] for a SMALL m, as per-row scalar multiplies
+        acc = np.zeros(m.shape[1], dt)
+        for j in range(1, m.shape[0]):
+            acc += m[j] * dt.type(j)
+        return acc
+
+    g = 256 if Rh >= 256 else max(1, Rh)
+    G = Rh // g
+    with np.errstate(over="ignore"):
+        main = head[: G * g].reshape(G, g, Ch)
+        gsum = main.sum(axis=1, dtype=dt)          # [G, C]
+        fold = main.sum(axis=0, dtype=dt)          # [g, C]
+        col = gsum.sum(axis=0, dtype=dt)
+        iw = dt.type(g) * _iweighted(gsum) + _iweighted(fold)
+        base = dt.type(G * g)
+        for j, r in enumerate(head[G * g :]):      # < g tail rows
+            col += r
+            iw += r * (base + dt.type(j))
+        colw = q_r * iw + col
+        row = np.empty(Rh, dt)
+        roww = np.empty(Rh, dt)
+        blk = max(1, (1 << 23) // Ch)
+        buf = np.empty((min(blk, Rh), Ch), dt)
+        for r0 in range(0, Rh, blk):
+            hb = head[r0 : r0 + blk]
+            row[r0 : r0 + hb.shape[0]] = hb.sum(axis=1, dtype=dt)
+            bb = buf[: hb.shape[0]]
+            np.multiply(hb, w_c[None, :], out=bb)
+            roww[r0 : r0 + hb.shape[0]] = bb.sum(axis=1, dtype=dt)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(col.tobytes())
+    h.update(row.tobytes())
+    h.update(colw.tobytes())
+    h.update(roww.tobytes())
+    h.update(v[R * C :].tobytes())  # unaligned 4-byte words, < C of them
+    h.update(tail_bytes.tobytes())  # sub-word tail, < 4 bytes
+    return h.digest()
+
+
+def content_fingerprint(*arrays) -> int:
+    """64-bit content fingerprint of host arrays (shape + dtype + every
+    byte, via :func:`content_hash` per array)."""
+    h = hashlib.blake2b(digest_size=8)
+    for a in arrays:
+        a = np.asarray(a)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(content_hash(a))
+    return int.from_bytes(h.digest(), "little")

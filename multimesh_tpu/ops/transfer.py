@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import hashlib
 import os
 import pathlib
 from typing import Union
@@ -33,20 +32,13 @@ from ..search.locate import locate as _locate
 PathLike = Union[str, pathlib.Path]
 
 
-def content_fingerprint(*arrays) -> int:
-    """64-bit content hash of host arrays (shape + dtype + every byte).
-
-    Used to tie a saved transfer operator to the exact source/target
-    geometry it was built from: two different meshes with equal point
-    counts must never reuse each other's cached weights (the reference's
-    name-only .npy caches have exactly that failure mode)."""
-    h = hashlib.blake2b(digest_size=8)
-    for a in arrays:
-        a = np.ascontiguousarray(np.asarray(a))
-        h.update(str(a.shape).encode())
-        h.update(str(a.dtype).encode())
-        h.update(a.tobytes())
-    return int.from_bytes(h.digest(), "little")
+# Ties a saved transfer operator to the exact source/target geometry it
+# was built from: two different meshes with equal point counts must never
+# reuse each other's cached weights (the reference's name-only .npy
+# caches have exactly that failure mode).  Memory-speed digest -- see
+# multimesh_tpu.hashing (blake2b over every byte runs ~16 MB/s on this
+# rig; a 10M-point f64 target would cost ~15 s per transfer).
+from ..hashing import content_fingerprint  # noqa: E402,F401
 
 
 @functools.partial(jax.jit, static_argnames=())

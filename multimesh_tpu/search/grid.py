@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import hashlib
+
 import weakref
 
 import jax
@@ -58,7 +58,6 @@ EXACT_KNN_MAX_SOURCES = 131_072
 # earlier: approx_max_k still sweeps the full [chunk, E] distance matrix,
 # while the grid's per-point cost is independent of E.
 APPROX_GRID_MIN_SOURCES = 16_384
-
 
 @dataclasses.dataclass
 class GridIndex:
@@ -88,7 +87,6 @@ class GridIndex:
     @property
     def members_per_bin(self) -> int:
         return self.bin_elems.shape[1]
-
 
 def build_grid(centroids, target_per_cell: int = 128) -> GridIndex:
     """Median-split balanced binning (host-side, one-time, O(E log E))."""
@@ -139,13 +137,11 @@ def build_grid(centroids, target_per_cell: int = 128) -> GridIndex:
         sources=jnp.asarray(cents),
     )
 
-
 def _center_queries(queries, center):
     q64 = queries - center
     q32 = q64.astype(jnp.float32)
     q_lo = (q64 - q32.astype(q64.dtype)).astype(jnp.float32)
     return q32, q_lo
-
 
 def _grid_query_core(bin_reps32, bin_elems, bin_coords6, q32, q_lo,
                      k: int, n_probe: int, approx: bool):
@@ -189,7 +185,6 @@ def _grid_query_core(bin_reps32, bin_elems, bin_coords6, q32, q_lo,
         idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps_, 1)], 1)
     return -nv, idx.astype(jnp.int32)
 
-
 @functools.partial(
     jax.jit, static_argnames=("k", "n_probe", "approx")
 )
@@ -200,7 +195,6 @@ def _grid_query(bin_reps32, bin_elems, bin_coords6, center, queries,
         bin_reps32, bin_elems, bin_coords6, q32, q_lo, k, n_probe, approx
     )
     return d2.astype(queries.dtype), idx
-
 
 def grid_knn(
     index: GridIndex,
@@ -233,9 +227,7 @@ def grid_knn(
     idx = jnp.concatenate(out_i) if len(out_i) > 1 else out_i[0]
     return d2, idx
 
-
 _INDEX_CACHE: dict = {}
-
 
 @jax.jit
 def _checksum_jit(x):
@@ -267,56 +259,9 @@ def _checksum_jit(x):
                           * jnp.uint32(3266489917)))
     return jnp.stack(hs)
 
-
 _FP_CACHE: dict = {}
 
-
-def _host_content_hash(a: np.ndarray) -> bytes:
-    """Full-coverage content hash of a host array at memory speed.
-
-    blake2b runs at ~16 MB/s on this rig's throttled CPU (~1.5 min for a
-    500k-element order-4 mesh, per transfer); numpy integer reduction
-    runs at ~4 GB/s.  The buffer is viewed as integers, reshaped
-    [R, 4096], and reduced along BOTH axes twice: plain wrapping sums,
-    plus sums weighted by a position-dependent odd multiplier of the
-    *other* axis index.  The plain sums catch any single-value change;
-    the weighted sums are position-sensitive, so coordinated edits that
-    preserve every row and column sum (e.g. +d,-d,-d,+d at the corners
-    of a rectangle) still move the digest: the weighted column sum of a
-    changed column shifts by d*(w[r1]-w[r2]), nonzero for distinct rows
-    because i -> i*odd+1 is injective mod 2^64.  The four digest
-    vectors are then blake2b'd (small)."""
-    a = np.ascontiguousarray(a)
-    if a.itemsize == 8:
-        v = a.view(np.uint64).reshape(-1)
-    elif a.itemsize == 4:
-        v = a.view(np.uint32).reshape(-1)
-    elif a.itemsize == 2:
-        v = a.view(np.uint16).reshape(-1)
-    else:
-        v = a.view(np.uint8).reshape(-1)
-    C = 4096
-    R = v.shape[0] // C
-    head = v[: R * C].reshape(R, C) if R else v.reshape(1, -1)
-    dt = v.dtype
-    with np.errstate(over="ignore"):
-        col = head.sum(axis=0, dtype=dt)
-        row = head.sum(axis=1, dtype=dt)
-        mask = (1 << (8 * a.itemsize)) - 1
-        w_r = (np.arange(head.shape[0], dtype=dt)
-               * dt.type(2654435761 & mask | 1) + dt.type(1))
-        w_c = (np.arange(head.shape[1], dtype=dt)
-               * dt.type(40503 & mask | 1) + dt.type(1))
-        col_w = (head * w_r[:, None]).sum(axis=0, dtype=dt)
-        row_w = (head * w_c[None, :]).sum(axis=1, dtype=dt)
-    h = hashlib.blake2b(digest_size=16)
-    h.update(col.tobytes())
-    h.update(row.tobytes())
-    h.update(col_w.tobytes())
-    h.update(row_w.tobytes())
-    h.update(v[R * C:].tobytes())  # unaligned tail, < C elements
-    return h.digest()
-
+from ..hashing import content_hash as _host_content_hash  # noqa: E402
 
 def _fingerprint(sources) -> tuple:
     """Full-content key: shape/dtype + checksum of every coordinate (a
@@ -348,7 +293,6 @@ def _fingerprint(sources) -> tuple:
         pass
     return fp
 
-
 def get_grid_index(sources) -> GridIndex:
     """The (cached) balanced-bin index for a source point set."""
     key = _fingerprint(sources)
@@ -359,7 +303,6 @@ def get_grid_index(sources) -> GridIndex:
         index = build_grid(sources)
         _INDEX_CACHE[key] = index
     return index
-
 
 def spatial_order(sources) -> np.ndarray:
     """Permutation placing spatially adjacent sources at adjacent indices
@@ -372,7 +315,6 @@ def spatial_order(sources) -> np.ndarray:
         < np.asarray(index.bin_counts)[:, None]
     )
     return elems[mask].astype(np.int64)
-
 
 def _cached_random_perm(sources):
     """(perm, sources[perm]) under a random permutation, cached by the
@@ -391,7 +333,6 @@ def _cached_random_perm(sources):
         )
         _INDEX_CACHE[key] = entry
     return entry
-
 
 def knn_any(sources, queries, k: int, exact: bool = True,
             approx: bool = False, **kw):
