@@ -137,7 +137,10 @@ def gll_2_gll(
         uniq, recon = unique_points(new_points)
 
         op = None
-        fp = content_fingerprint(src_points, uniq)
+        # the geometry fingerprint guards the on-disk operator cache;
+        # without stored_array there is nothing to guard, so skip the
+        # (GB-scale on big meshes) host hash entirely
+        fp = content_fingerprint(src_points, uniq) if stored_array else None
         if stored_array and TransferOperator.exists(stored_array):
             try:
                 op = TransferOperator.load(stored_array, fingerprint=fp)
@@ -158,16 +161,21 @@ def gll_2_gll(
                 op.save(stored_array, fingerprint=fp)
 
         fields = np.moveaxis(src_data, 1, 0)  # [P, E, n]
-        vals_u = op.apply(fields)  # [U, P]
-        if np.isnan(vals_u).any():
+        vals_u = op.apply(fields)  # [U, P] (device array)
+        # NaN audit as a device-side reduce (np.isnan on the device array
+        # would pull the full [U, P] result over the slow host link just
+        # to check it, then the write-back below would pull it again)
+        import jax.numpy as jnp
+
+        if bool(jnp.isnan(jnp.asarray(vals_u)).any()):
             raise FloatingPointError(
                 "interpolation produced NaNs; check source mesh/fields"
             )
-        values = (
-            vals_u[recon]
+        values = np.asarray(
+            jnp.asarray(vals_u)[np.asarray(recon, np.int32)]
             .reshape(new_points.shape[0], gll_points, len(parameters))
             .swapaxes(1, 2)
-        )  # [E, P, n]
+        )  # [E, P, n] -- reconstruction + relayout on device, ONE pull
 
         if not gradient:
             values = repair_fluid_solid(values, old_values, solid, parameters)
@@ -402,7 +410,11 @@ def exodus_2_gll(
 
     with h5py.File(str(gll_model), "r+") as gll:
         with stage_timer("e2g.read_gll_coords"):
-            coords = np.asarray(gll[coordinates_path][()], np.float64)
+            # f32 target coordinates: h5py converts during the read, the
+            # host->device upload halves (80 MB/s tunnel), and trilinear
+            # (order-1) source accuracy is discretization-limited far
+            # above the ~0.5 m f32 position granularity
+            coords = np.asarray(gll[coordinates_path][()], np.float32)
         npoints, n_gll, dim = coords.shape
 
         cfg = LocateConfig(
@@ -430,18 +442,24 @@ def exodus_2_gll(
                 [exo.get_nodal_field(p)[conn] for p in parameters]
             )  # [F, E, 2^d]
         with stage_timer("e2g.apply"):
-            vals_dev = op.apply(fields)
+            # relayout to the HDF5 target layout [npoints, F, n_gll] ON
+            # DEVICE and downcast to f32 for the pull: the device->host
+            # tunnel on this rig runs ~17 MB/s, so pulling f64 [N, F] and
+            # transposing on the ~0.1 Gflop/s host (the previous shape of
+            # this code) cost ~80 s at 10M slots; f32 halves the bytes
+            # and HDF5 converts f32->f64 in C during the write
+            vals_dev = op.apply(fields)  # [N, F]
+            out_dev = vals_dev.reshape(
+                npoints, n_gll, len(parameters)
+            ).transpose(0, 2, 1).astype("float32")
         with stage_timer("e2g.pull_result"):
-            vals = np.asarray(vals_dev).T.astype(np.float64)
+            vals = np.asarray(out_dev)  # [npoints, F, n_gll] contiguous
 
         with stage_timer("e2g.write_h5"):
             sio.recreate_dataset(
                 gll, parameters, model_path, coordinates_path
             )
-            gll[model_path][:, :, :] = np.ascontiguousarray(
-                vals.reshape(len(parameters), npoints, n_gll)
-                .swapaxes(0, 1)
-            )
+            gll[model_path][:, :, :] = vals
 
 
 def gll_2_exodus(
@@ -573,14 +591,19 @@ def exodus_2_exodus(
         cfg=cfg,
         fallback="best",
     )
-    if op.num_missing:
+    n_missing = op.num_missing
+    if n_missing:
         raise RuntimeError(
-            f"{op.num_missing} points could not be interpolated."
+            f"{n_missing} points could not be interpolated."
         )
     conn = exo_a.canonical_connectivity()
-    for p in parameters:
-        vals = op.apply(exo_a.get_nodal_field(p)[conn])
-        exo_b.attach_field(p, vals)
+    # all parameters in ONE device pass + ONE host pull
+    fields = np.stack(
+        [exo_a.get_nodal_field(p)[conn] for p in parameters]
+    )  # [F, E, 2^d]
+    vals = np.asarray(op.apply(fields))  # [N, F]
+    for i, p in enumerate(parameters):
+        exo_b.attach_field(p, vals[:, i])
 
 
 # -------------------------------------------------------------------------

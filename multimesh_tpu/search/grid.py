@@ -260,6 +260,7 @@ def _checksum_jit(x):
     return jnp.stack(hs)
 
 _FP_CACHE: dict = {}
+_FP_HOST_CACHE: dict = {}  # id -> (strong ref, fp) for frozen host arrays
 
 from ..hashing import content_hash as _host_content_hash  # noqa: E402
 
@@ -276,9 +277,26 @@ def _fingerprint(sources) -> tuple:
     if isinstance(sources, np.ndarray):
         from ..utils_profile import stage_timer
 
+        # Read-only host arrays opt in to identity caching: freezing
+        # with arr.setflags(write=False) promises the buffer will not
+        # change, so the (GB-scale) content hash is paid once per mesh
+        # instead of once per locate/build.  The cache holds a STRONG
+        # reference, so an id cannot be reused while its entry lives.
+        # Caveat: mutating the same buffer through another writable
+        # view breaks the promise -- freeze the base array.
+        frozen = not sources.flags.writeable
+        if frozen:
+            ent = _FP_HOST_CACHE.get(id(sources))
+            if ent is not None and ent[0] is sources:
+                return ent[1]
         with stage_timer("fingerprint.host"):
-            return (sources.shape, str(sources.dtype),
-                    _host_content_hash(sources))
+            fp = (sources.shape, str(sources.dtype),
+                  _host_content_hash(sources))
+        if frozen:
+            if len(_FP_HOST_CACHE) > 4:
+                _FP_HOST_CACHE.clear()
+            _FP_HOST_CACHE[id(sources)] = (sources, fp)
+        return fp
     key_id = id(sources)
     ent = _FP_CACHE.get(key_id)
     if ent is not None and ent[0]() is sources:

@@ -833,6 +833,14 @@ def locate(
         except Exception:
             platform = "cpu"
         interpret = platform == "cpu"
+    else:
+        # xla/scan engine: the carry dtype follows the promotion of
+        # points with the f64 element lattice, so promote f32 query
+        # points on device up front (callers upload f32 to halve
+        # host->device tunnel time; see engine.exodus_2_gll)
+        carry_dt = jnp.promote_types(points.dtype, elem_nodes.dtype)
+        if points.dtype != carry_dt:
+            points = points.astype(carry_dt)
     if dtype is None:
         from ..config import Precision
 
