@@ -79,3 +79,23 @@ def test_locate_on_large_mesh_grid_path(rng):
         np.testing.assert_allclose(vals, truth, atol=3e-2)
     finally:
         grid_mod.EXACT_KNN_MAX_SOURCES = old
+
+
+def test_fingerprint_frozen_identity_cache(rng):
+    """Read-only host arrays are content-hashed once and then served
+    from the identity cache; distinct content still gets distinct fps."""
+    from multimesh_tpu.search.grid import _fingerprint, _FP_HOST_CACHE
+
+    arr = rng.random((512, 4))
+    fp_writable = _fingerprint(arr)
+    assert id(arr) not in _FP_HOST_CACHE  # writable arrays are not cached
+    arr.setflags(write=False)
+    fp_frozen = _fingerprint(arr)
+    assert fp_frozen == fp_writable
+    assert _FP_HOST_CACHE[id(arr)][0] is arr
+    assert _fingerprint(arr) == fp_frozen  # served from the cache
+
+    other = arr.copy()
+    other[3, 1] += 1.0
+    other.setflags(write=False)
+    assert _fingerprint(other) != fp_frozen

@@ -257,3 +257,23 @@ def test_locate_ladder_mass_failure_rescued(rng):
     mine = _interp(lad, field)
     expected = _interp(truth, field)
     np.testing.assert_allclose(mine, expected, rtol=5e-5)
+
+
+def test_locate_f32_points_xla_promoted(rng):
+    """f32 query points through the xla/scan engine: callers upload f32
+    to halve tunnel time (engine.exodus_2_gll); locate must promote them
+    to the f64 lattice dtype so the scan carry does not truncate."""
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    pts64 = rng.uniform(0.05, 0.95, size=(300, 3))
+    pts32 = pts64.astype(np.float32)
+
+    r64 = locate(pts64.astype(np.float64), mesh.points, order=1,
+                 fallback="sentinel", engine="xla")
+    r32 = locate(jnp.asarray(pts32), mesh.points, order=1,
+                 fallback="sentinel", engine="xla")
+    assert np.asarray(r32.found).all()
+    # same coordinates up to f32 rounding -> same elements, close values
+    v64 = _interp(r64, field)
+    v32 = _interp(r32, field)
+    np.testing.assert_allclose(v32, v64, rtol=1e-5)
