@@ -263,16 +263,27 @@ def _layered_apply_and_write(
     tgt_masks: Dict[str, np.ndarray],
     parameters: List[str],
 ):
-    for param in parameters:
-        src_field = original_mesh.element_nodal_fields[param]
-        new_field = np.array(new_mesh.element_nodal_fields[param],
-                             copy=True)
-        for layer, op in ops.items():
-            vals = op.apply(src_field[src_masks[layer]])
-            new_field[tgt_masks[layer]] = vals.reshape(
-                new_field[tgt_masks[layer]].shape
+    # all parameters in one device pass per layer, one host pull each
+    # (per-(param, layer) applies cost a device->host transfer per call)
+    new_fields = {
+        p: np.array(new_mesh.element_nodal_fields[p], copy=True)
+        for p in parameters
+    }
+    for layer, op in ops.items():
+        src = np.stack(
+            [
+                original_mesh.element_nodal_fields[p][src_masks[layer]]
+                for p in parameters
+            ]
+        )  # [P, E_layer, n]
+        vals = np.asarray(op.apply(src))  # [N_layer, P]
+        for i, p in enumerate(parameters):
+            tgt = new_fields[p]
+            tgt[tgt_masks[layer]] = vals[:, i].reshape(
+                tgt[tgt_masks[layer]].shape
             )
-        new_mesh.attach_field(name=param, data=new_field)
+    for p in parameters:
+        new_mesh.attach_field(name=p, data=new_fields[p])
 
 
 def gll_2_gll_layered(
@@ -494,7 +505,7 @@ def gll_2_exodus(
         prefilter_m=PREFILTER_M,
     )
     fields = np.moveaxis(gll_data, 1, 0)  # [P, E, n]
-    values = op.apply(fields)  # [N, P]
+    values = np.asarray(op.apply(fields))  # [N, P] -- ONE host pull
     for i, param in enumerate(parameters):
         exo.attach_field(param, values[:, i])
     return values
@@ -722,9 +733,9 @@ def interpolate_to_mesh(
         map_to_sphere(old_mesh)
         map_to_sphere(new_mesh)
         flat = new_mesh.points.reshape(-1, new_mesh.dimensions)
-        vals = interpolate_to_points(
+        vals = np.asarray(interpolate_to_points(
             old_mesh, flat, list(params_to_interp)
-        )
+        ))  # one host pull; per-column pulls cost a transfer each
         for i, p in enumerate(params_to_interp):
             new_mesh.attach_field(
                 p, vals[:, i].reshape(new_mesh.nelem, new_mesh.n_gll_points)
@@ -754,7 +765,7 @@ def extract_regular_grid(
     dd, la, lo = np.meshgrid(depth, lat, lon, indexing="ij")
     lld = np.stack([la.ravel(), lo.ravel(), dd.ravel()], axis=-1)
     points = utils.latlondepth_to_xyz(lld)
-    vals = interpolate_to_points(mesh, points, parameters)
+    vals = np.asarray(interpolate_to_points(mesh, points, parameters))
     for i, p in enumerate(parameters):
         ds.data[p] = vals[:, i].reshape(len(depth), len(lat), len(lon))
     return ds

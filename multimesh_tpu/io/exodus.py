@@ -147,22 +147,25 @@ class Exodus:
             )
 
     def attach_field(self, name: str, values: np.ndarray):
-        """Write a nodal (npoint) or elemental (nelem) variable in place."""
+        """Write a nodal (npoint) or elemental (nelem) variable.
+
+        A variable not yet declared in the file is added on the fly (the
+        reference's pyexodus wrapper creates variables on put, see
+        reference interpolator.py:283-285 attaching brand-new gradient
+        fields); NetCDF-3 fixes the variable table in the header, so
+        declaring one means rewriting the file once.
+        """
         if self.mode != "a":
             raise PermissionError("attach_field requires mode='a'")
         values = np.asarray(values, dtype=np.float64)
         if values.size == self.npoint:
             if name not in self.nodal_parameters:
-                raise KeyError(
-                    f"nodal variable {name!r} not declared in file"
-                )
+                self._declare_variable(name, nodal=True)
             idx = self.nodal_parameters.index(name) + 1
             var = f"vals_nod_var{idx}"
         elif values.size == self.nelem:
             if name not in self.elem_var_names:
-                raise KeyError(
-                    f"element variable {name!r} not declared in file"
-                )
+                self._declare_variable(name, nodal=False)
             idx = self.elem_var_names.index(name) + 1
             var = f"vals_elem_var{idx}eb1"
         else:
@@ -172,6 +175,31 @@ class Exodus:
         with netcdf_file(self._filename, "a", mmap=False) as f:
             f.variables[var][0, :] = values
             f.flush()
+
+    def _declare_variable(self, name: str, nodal: bool):
+        """Add a new (zero-filled) variable by rewriting the file."""
+        nodal_fields = {
+            p: self.get_nodal_field(p) for p in self.nodal_parameters
+        }
+        elemental_fields = {
+            p: self.get_element_field(p) for p in self.elem_var_names
+        }
+        if nodal:
+            nodal_fields[name] = np.zeros(self.npoint)
+        else:
+            elemental_fields[name] = np.zeros(self.nelem)
+        write_exodus(
+            self._filename,
+            self.points,
+            self.connectivity,
+            nodal_fields=nodal_fields,
+            elemental_fields=elemental_fields,
+            canonical_order=False,
+        )
+        if nodal:
+            self.nodal_parameters = list(nodal_fields)
+        else:
+            self.elem_var_names = list(elemental_fields)
 
     def get_element_centroid(self) -> np.ndarray:
         """Element centroids (mean of corner nodes).

@@ -123,3 +123,29 @@ def test_exodus_2d(tmp_path):
     np.testing.assert_allclose(
         e.canonical_corner_nodes(), mesh.points[:, ci, :]
     )
+
+
+def test_exodus_attach_new_variable(tmp_path):
+    """Attaching an undeclared variable declares it on the fly (the
+    reference's pyexodus creates variables on put -- gradients are
+    attached to viz meshes that never had them)."""
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=1)
+    path = tmp_path / "mesh.e"
+    mmt.write_exodus_fixture(path, mesh, parameters=("VP",))
+    ea = Exodus(path, mode="a")
+    old_vp = ea.get_nodal_field("VP")
+
+    grad = np.linspace(0.0, 1.0, ea.npoint)
+    ea.attach_field("GRAD_VS", grad)  # new nodal variable
+    fluid = np.arange(ea.nelem, dtype=np.float64)
+    ea.attach_field("fluid", fluid)  # new elemental variable
+
+    e2 = Exodus(path)
+    assert "GRAD_VS" in e2.nodal_parameters
+    assert "fluid" in e2.elem_var_names
+    np.testing.assert_allclose(e2.get_nodal_field("GRAD_VS"), grad)
+    np.testing.assert_allclose(e2.get_element_field("fluid"), fluid)
+    # pre-existing data survives the header rewrite
+    np.testing.assert_allclose(e2.get_nodal_field("VP"), old_vp)
+    np.testing.assert_allclose(e2.points, mesh.vertices)
+    np.testing.assert_allclose(e2.connectivity, ea.connectivity)
