@@ -168,13 +168,13 @@ def plot_depth_slice(
         lat_extent=lat_extent,
         lon_extent=lon_extent,
     )
-    vals = interpolate_to_points(
+    vals = np.asarray(interpolate_to_points(
         mesh=mesh,
         points=points,
         params_to_interp=[parameter_to_plot],
         make_spherical=False,
         geocentric=True,
-    ).reshape(num, num)
+    )).reshape(num, num)  # host once; np ops below would re-pull
 
     vmin = vmax = None
     if plot_diff_percentage:
@@ -288,12 +288,12 @@ def plot_cross_section(
         all_rads.ravel(),
     )
     points = np.stack([x, y, z], axis=-1)
-    data = interpolate_to_points(
+    data = np.asarray(interpolate_to_points(
         mesh,
         points=points,
         make_spherical=True,
         params_to_interp=[param_to_interp],
-    ).reshape(nrads, npoints)
+    )).reshape(nrads, npoints)
 
     # percent deviation from the per-radius mean
     mean_r = data.mean(axis=1, keepdims=True)
