@@ -66,9 +66,10 @@ def bench_gll(n_points=None, big_source=False):
         # grid index (E > APPROX_GRID_MIN_SOURCES).  The host CPU on
         # this rig is extremely slow (~0.1 Gflop/s), so the one-time
         # mesh construction is cached on disk.
+        n_lat, n_lon, n_rad = 80, 78, 80
         cache = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            ".bench_cache", "shell_500k.npz",
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+            f"shell_{n_lat}x{n_lon}x{n_rad}_o{order}.npz",
         )
         if os.path.exists(cache):
             z = np.load(cache)
@@ -77,7 +78,7 @@ def bench_gll(n_points=None, big_source=False):
                 z["layer_id"],
             )
         else:
-            src = mmt.shell_mesh(n_lat=80, n_lon=78, n_rad=80,
+            src = mmt.shell_mesh(n_lat=n_lat, n_lon=n_lon, n_rad=n_rad,
                                  order=order)
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.savez(cache, points=src.points,
@@ -222,10 +223,17 @@ def _cache_dir():
     return d
 
 
+def _mesh_tag(mesh) -> str:
+    """Fixture-cache key component derived from the mesh itself, so
+    editing the generation parameters invalidates the cached file."""
+    return f"{mesh.nelem}e{mesh.vertices.shape[0]}v"
+
+
 def _cached_fixture(name, writer):
     """Write a mesh fixture once and reuse across bench runs (fixture
     synthesis runs minutes on this rig's ~0.1 Gflop/s host; a pristine
-    copy restores mutated targets at disk speed)."""
+    copy restores mutated targets at disk speed).  Callers must embed
+    the generating parameters in ``name`` (see ``_mesh_tag``)."""
     path = os.path.join(_cache_dir(), name)
     if not os.path.exists(path):
         tmp = path + ".tmp"
@@ -253,11 +261,11 @@ def bench_exodus():
                          r_inner=3.7e6, r_outer=6.2e6,
                          lat_extent=(0.58, 1.12), lon_extent=(0.38, 1.32))
     f_a = _cached_fixture(
-        "exo_a.e",
+        f"exo_a_{_mesh_tag(src)}.e",
         lambda p: mmt.write_exodus_fixture(p, src, parameters=("VP",)),
     )
     f_b0 = _cached_fixture(
-        "exo_b_pristine.e",
+        f"exo_b_{_mesh_tag(tgt)}_pristine.e",
         lambda p: mmt.write_exodus_fixture(p, tgt, parameters=("VP",),
                                            field_kind="linear"),
     )
@@ -310,12 +318,12 @@ def bench_exodus_gll():
                          lat_extent=(0.58, 1.12), lon_extent=(0.38, 1.32))
     n_slots_actual = tgt.nelem * n_gll
     f_exo = _cached_fixture(
-        "e2g_src.e",
+        f"e2g_src_{_mesh_tag(src)}.e",
         lambda p: mmt.write_exodus_fixture(
             p, src, parameters=("VP", "VS", "RHO")),
     )
     f_gll0 = _cached_fixture(
-        f"e2g_tgt_{n_slots_actual}_pristine.h5",
+        f"e2g_tgt_{_mesh_tag(tgt)}_o{order}_pristine.h5",
         lambda p: mmt.write_salvus_fixture(
             p, tgt, parameters=("VP", "VS", "RHO"), field_kind="linear"),
     )

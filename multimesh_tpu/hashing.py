@@ -50,6 +50,8 @@ def content_hash(a: np.ndarray) -> bytes:
     # scalar loop on this rig); sub-4-byte tail hashes separately
     b8 = a.reshape(-1).view(np.uint8)
     n32 = b8.shape[0] // 4
+    if n32 == 0:  # empty / sub-word arrays: nothing to reduce
+        return hashlib.blake2b(b8.tobytes(), digest_size=16).digest()
     v = b8[: n32 * 4].view(np.uint32)
     tail_bytes = b8[n32 * 4 :]
     C = 4096

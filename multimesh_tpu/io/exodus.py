@@ -20,6 +20,7 @@ Conventions handled exactly like the reference's wrapper:
 from __future__ import annotations
 
 import pathlib
+import re
 from typing import List, Union
 
 import numpy as np
@@ -176,8 +177,30 @@ class Exodus:
             f.variables[var][0, :] = values
             f.flush()
 
+    # NetCDF variables this minimal single-block model round-trips; a
+    # file containing anything else (side sets, node sets, extra blocks,
+    # element maps...) cannot be safely rewritten by _declare_variable.
+    _MODELED_VARS = re.compile(
+        r"^(coord[xyz]|connect1|eb_prop1|time_whole|eb_status"
+        r"|name_nod_var|vals_nod_var\d+"
+        r"|name_elem_var|vals_elem_var\d+eb1"
+        r"|coor_names|coord_names|eb_names)$"
+    )
+
     def _declare_variable(self, name: str, nodal: bool):
         """Add a new (zero-filled) variable by rewriting the file."""
+        with netcdf_file(self._filename, "r", mmap=False) as f:
+            extra = [
+                v for v in f.variables if not self._MODELED_VARS.match(v)
+            ]
+        if extra:
+            raise KeyError(
+                f"variable {name!r} is not declared in the file, and the "
+                f"file contains structures this writer does not model "
+                f"({sorted(extra)[:6]}...); declaring a new variable "
+                "would rewrite the file and drop them. Add the variable "
+                "with the tool that produced the mesh instead."
+            )
         nodal_fields = {
             p: self.get_nodal_field(p) for p in self.nodal_parameters
         }

@@ -59,6 +59,7 @@ EXACT_KNN_MAX_SOURCES = 131_072
 # while the grid's per-point cost is independent of E.
 APPROX_GRID_MIN_SOURCES = 16_384
 
+
 @dataclasses.dataclass
 class GridIndex:
     """Balanced bin->element lists with TPU-friendly member storage.
@@ -87,6 +88,7 @@ class GridIndex:
     @property
     def members_per_bin(self) -> int:
         return self.bin_elems.shape[1]
+
 
 def build_grid(centroids, target_per_cell: int = 128) -> GridIndex:
     """Median-split balanced binning (host-side, one-time, O(E log E))."""
@@ -137,11 +139,13 @@ def build_grid(centroids, target_per_cell: int = 128) -> GridIndex:
         sources=jnp.asarray(cents),
     )
 
+
 def _center_queries(queries, center):
     q64 = queries - center
     q32 = q64.astype(jnp.float32)
     q_lo = (q64 - q32.astype(q64.dtype)).astype(jnp.float32)
     return q32, q_lo
+
 
 def _grid_query_core(bin_reps32, bin_elems, bin_coords6, q32, q_lo,
                      k: int, n_probe: int, approx: bool):
@@ -185,6 +189,7 @@ def _grid_query_core(bin_reps32, bin_elems, bin_coords6, q32, q_lo,
         idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps_, 1)], 1)
     return -nv, idx.astype(jnp.int32)
 
+
 @functools.partial(
     jax.jit, static_argnames=("k", "n_probe", "approx")
 )
@@ -195,6 +200,7 @@ def _grid_query(bin_reps32, bin_elems, bin_coords6, center, queries,
         bin_reps32, bin_elems, bin_coords6, q32, q_lo, k, n_probe, approx
     )
     return d2.astype(queries.dtype), idx
+
 
 def grid_knn(
     index: GridIndex,
@@ -229,6 +235,7 @@ def grid_knn(
 
 _INDEX_CACHE: dict = {}
 
+
 @jax.jit
 def _checksum_jit(x):
     """Order-sensitive 32-bit content hashes over every element of x,
@@ -260,9 +267,22 @@ def _checksum_jit(x):
     return jnp.stack(hs)
 
 _FP_CACHE: dict = {}
-_FP_HOST_CACHE: dict = {}  # id -> (strong ref, fp) for frozen host arrays
+_FP_HOST_CACHE: dict = {}  # id -> (strong ref, guard digest, fp)
 
 from ..hashing import content_hash as _host_content_hash  # noqa: E402
+
+
+def _guard_digest(a: np.ndarray) -> bytes:
+    """Cheap strided sample digest (~64K bytes read regardless of size);
+    recomputed on every identity-cache hit to catch the
+    unfreeze-mutate-refreeze pattern that id+frozen checks cannot see."""
+    import hashlib
+
+    b8 = a.reshape(-1).view(np.uint8)
+    step = max(1, b8.size // 65536)
+    return hashlib.blake2b(np.ascontiguousarray(b8[::step]).tobytes(),
+                           digest_size=16).digest()
+
 
 def _fingerprint(sources) -> tuple:
     """Full-content key: shape/dtype + checksum of every coordinate (a
@@ -280,22 +300,27 @@ def _fingerprint(sources) -> tuple:
         # Read-only host arrays opt in to identity caching: freezing
         # with arr.setflags(write=False) promises the buffer will not
         # change, so the (GB-scale) content hash is paid once per mesh
-        # instead of once per locate/build.  The cache holds a STRONG
-        # reference, so an id cannot be reused while its entry lives.
+        # instead of once per locate/build.  numpy arrays cannot be
+        # weakref'd, so the cache holds a STRONG reference (an id cannot
+        # be reused while its entry lives); every hit re-checks a cheap
+        # strided guard digest, so unfreeze-mutate-refreeze falls back
+        # to a full rehash instead of serving a stale fingerprint.
         # Caveat: mutating the same buffer through another writable
-        # view breaks the promise -- freeze the base array.
+        # view can still dodge the guard if the sample misses the edit
+        # -- freeze the base array and keep the promise.
         frozen = not sources.flags.writeable
+        guard = _guard_digest(sources) if frozen else None
         if frozen:
             ent = _FP_HOST_CACHE.get(id(sources))
-            if ent is not None and ent[0] is sources:
-                return ent[1]
+            if ent is not None and ent[0] is sources and ent[1] == guard:
+                return ent[2]
         with stage_timer("fingerprint.host"):
             fp = (sources.shape, str(sources.dtype),
                   _host_content_hash(sources))
         if frozen:
             if len(_FP_HOST_CACHE) > 4:
                 _FP_HOST_CACHE.clear()
-            _FP_HOST_CACHE[id(sources)] = (sources, fp)
+            _FP_HOST_CACHE[id(sources)] = (sources, guard, fp)
         return fp
     key_id = id(sources)
     ent = _FP_CACHE.get(key_id)
@@ -311,6 +336,7 @@ def _fingerprint(sources) -> tuple:
         pass
     return fp
 
+
 def get_grid_index(sources) -> GridIndex:
     """The (cached) balanced-bin index for a source point set."""
     key = _fingerprint(sources)
@@ -321,6 +347,7 @@ def get_grid_index(sources) -> GridIndex:
         index = build_grid(sources)
         _INDEX_CACHE[key] = index
     return index
+
 
 def spatial_order(sources) -> np.ndarray:
     """Permutation placing spatially adjacent sources at adjacent indices
@@ -333,6 +360,7 @@ def spatial_order(sources) -> np.ndarray:
         < np.asarray(index.bin_counts)[:, None]
     )
     return elems[mask].astype(np.int64)
+
 
 def _cached_random_perm(sources):
     """(perm, sources[perm]) under a random permutation, cached by the
@@ -351,6 +379,7 @@ def _cached_random_perm(sources):
         )
         _INDEX_CACHE[key] = entry
     return entry
+
 
 def knn_any(sources, queries, k: int, exact: bool = True,
             approx: bool = False, **kw):

@@ -431,16 +431,11 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
     # silently fall through to sentinel/snap when >~40% of a chunk fails
     # round 1 (thin-element layered meshes).
     full_op = jnp.zeros((C,), bool)
-    own_list = rescue_mode in ("tail", "none")
-    if own_list and K == 1:
-        full_op = jnp.ones((C,), bool)  # round 1 was the whole list
     # ---- round 2: next 3 candidates for the C/4 most-promising failures
     if K > 1:
         B = max(C // 4, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 1:min(4, K)], idx)
-        if own_list and K <= 4:
-            full_op = full_op.at[idx].set(True)
     # ---- round 3: candidates 4..11 for the C/8 most-promising failures.
     # A row crowded out of round 2 can enter here after other rows accept
     # and will then skip columns 1..3: if its element IS among those
@@ -458,9 +453,10 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
     # "exact" re-runs a full exact kNN (restores full recall when the
     # candidate list came from the approximate search); "grid" re-probes
     # the balanced-bin index with 4x the bins (large meshes, where a
-    # [B, E] distance sweep would not fit); "tail" covers candidate
-    # columns 1..K-1 of a caller-provided list (again from column 1, for
-    # rows that skipped rounds 2-3).
+    # [B, E] distance sweep would not fit).  locate always selects one
+    # of the two whenever the ladder runs (even for caller-provided
+    # candidate lists: the caller restricts the searchable ELEMENT SET,
+    # e.g. per-layer masks, not the candidate columns).
     if rescue_mode == "exact":
         from .knn import _knn_jit
 
@@ -484,11 +480,6 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
             n_probe=16, approx=False,
         )
         state = rescue(state, cand4, idx)
-        full_op = full_op.at[idx].set(True)
-    elif rescue_mode == "tail" and K > 12:
-        B = max(C // 32, min(C, 128))
-        idx = failure_order(state)[:B]
-        state = rescue(state, cand[idx][:, 1:K], idx)
         full_op = full_op.at[idx].set(True)
 
     elem, ref, acc, best_max, best_ref, best_elem = state
@@ -1001,7 +992,26 @@ def locate(
         accepted = jnp.concatenate([o[4] for o in outs])
         needs_retry = jnp.concatenate([o[5] for o in outs])
 
-    if use_ladder and int(jnp.sum(needs_retry)) > 0:
+    n_retry = int(jnp.sum(needs_retry)) if use_ladder else 0
+    if n_retry > 0 and fallback == "sentinel":
+        # Exterior-heavy workloads (whole-globe depth slices, regular
+        # grids overhanging the mesh) would otherwise pay the full scan
+        # retry for every exterior point on every call: exterior points
+        # never accept, and only ~C/32 rows per chunk get the ladder's
+        # full-recall round.  A point outside the GLOBAL source AABB
+        # (with slack) can never be inside any element, so its sentinel
+        # result is already exact -- drop it from the retry.  (Snap/best
+        # fallbacks still retry everything: their result depends on the
+        # best-so-far over all candidates, which needs the scan.)
+        glo = prep["lo"].min(axis=0)
+        ghi = prep["hi"].max(axis=0)
+        eps = 1e-5 * (ghi - glo)
+        inside_global = jnp.all(
+            (points >= glo - eps) & (points <= ghi + eps), axis=-1
+        )
+        needs_retry = needs_retry & inside_global
+        n_retry = int(jnp.sum(needs_retry))
+    if n_retry > 0:
         # Crowded-out rows: unaccepted points that never reached the
         # ladder's full-recall round (possible when more than ~40% of a
         # chunk fails round 1, e.g. thin-element layered meshes).  Re-run

@@ -99,3 +99,10 @@ def test_fingerprint_frozen_identity_cache(rng):
     other[3, 1] += 1.0
     other.setflags(write=False)
     assert _fingerprint(other) != fp_frozen
+
+    # unfreeze-mutate-refreeze: same id, same object -- the guard digest
+    # must force a rehash instead of serving the stale fingerprint
+    arr.setflags(write=True)
+    arr[7, 2] += 3.0
+    arr.setflags(write=False)
+    assert _fingerprint(arr) != fp_frozen

@@ -149,3 +149,23 @@ def test_exodus_attach_new_variable(tmp_path):
     np.testing.assert_allclose(e2.get_nodal_field("VP"), old_vp)
     np.testing.assert_allclose(e2.points, mesh.vertices)
     np.testing.assert_allclose(e2.connectivity, ea.connectivity)
+
+
+def test_exodus_declare_refuses_unmodeled_files(tmp_path):
+    """A file holding structures the minimal writer does not model (side
+    sets etc.) must refuse attach-field auto-declare instead of silently
+    rewriting them away."""
+    from scipy.io import netcdf_file
+
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=1)
+    path = tmp_path / "mesh.e"
+    mmt.write_exodus_fixture(path, mesh, parameters=("VP",))
+    with netcdf_file(str(path), "a", mmap=False) as f:
+        f.createDimension("num_side_sets", 1)
+        v = f.createVariable("elem_ss1", "i", ("num_side_sets",))
+        v[:] = np.array([1], np.int32)
+    ea = Exodus(path, mode="a")
+    # in-place write of an EXISTING variable still works
+    ea.attach_field("VP", ea.get_nodal_field("VP") * 2)
+    with pytest.raises(KeyError, match="does not model"):
+        ea.attach_field("NEW_VAR", np.zeros(ea.npoint))

@@ -277,3 +277,27 @@ def test_locate_f32_points_xla_promoted(rng):
     v64 = _interp(r64, field)
     v32 = _interp(r32, field)
     np.testing.assert_allclose(v32, v64, rtol=1e-5)
+
+
+def test_locate_ladder_exterior_heavy_sentinel(rng):
+    """Exterior-heavy sentinel workload: far-exterior points (outside
+    the global source AABB) are provably un-locatable and skip the scan
+    retry; results must still match the exhaustive scan exactly."""
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    interior = rng.uniform(0.05, 0.95, size=(150, 3))
+    exterior = rng.uniform(2.0, 5.0, size=(450, 3))  # far outside [0,1]^3
+    pts = np.concatenate([interior, exterior])
+
+    scan = locate(pts, mesh.points, order=1, fallback="sentinel",
+                  engine="pallas", strategy="scan")
+    lad = locate(pts, mesh.points, order=1, fallback="sentinel",
+                 engine="pallas", strategy="ladder")
+    np.testing.assert_array_equal(
+        np.asarray(lad.found), np.asarray(scan.found)
+    )
+    assert np.asarray(lad.found)[:150].all()
+    assert not np.asarray(lad.found)[150:].any()
+    np.testing.assert_allclose(
+        _interp(lad, field), _interp(scan, field), rtol=5e-5
+    )
