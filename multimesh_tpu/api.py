@@ -250,6 +250,7 @@ def plot_depth_slice(
     cmap="chroma",
     parameter_to_plot: str = "VSV",
     figsize: Tuple[int, int] = (15, 8),
+    projection: Union[str, object] = "Mollweide",
     coastlines: bool = True,
     borders: bool = False,
     stock_img: bool = False,
@@ -260,7 +261,9 @@ def plot_depth_slice(
     title: str | None = None,
     limits: Tuple[float, float] | None = None,
 ):
-    """Plot a depth slice of a mesh (reference api.py:399-487)."""
+    """Plot a depth slice of a mesh (reference api.py:399-487; the
+    reference hardcodes Mollweide with the projection kwarg commented out
+    at api.py:409 -- exposed here as a working pass-through)."""
     from .viz.plotter import plot_depth_slice as _impl
 
     return _impl(
@@ -273,7 +276,7 @@ def plot_depth_slice(
         cmap=cmap,
         parameter_to_plot=parameter_to_plot,
         figsize=figsize,
-        projection="Mollweide",
+        projection=projection,
         coastlines=coastlines,
         borders=borders,
         stock_img=stock_img,

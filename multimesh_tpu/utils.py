@@ -351,14 +351,8 @@ class MeshDataset:
     def to_xarray(self):  # pragma: no cover - xarray not in CI image
         import xarray as xr
 
-        if self.coord_type == "cartesian":
-            dims = ["element", "point"]
-            coords = {
-                k: (dims, v) for k, v in self.coords.items()
-            }
-        else:
-            dims = ["element", "point"]
-            coords = {k: (dims, v) for k, v in self.coords.items()}
+        dims = ["element", "point"]
+        coords = {k: (dims, v) for k, v in self.coords.items()}
         ds = xr.Dataset(
             {k: (dims, v) for k, v in self.data.items()}, coords=coords
         )

@@ -132,3 +132,51 @@ def test_regular_grid_netcdf4_hdf5_layout(tmp_path):
     ds.to_netcdf(p3, format="NETCDF3_64BIT")
     back3 = utils.RegularGridData.from_netcdf(p3)
     np.testing.assert_allclose(back3["VP"], ds["VP"])
+
+
+def test_to_xarray_with_stub(monkeypatch, tmp_path):
+    """xarray is absent in this image; a stub records what to_xarray would
+    hand a real xarray.Dataset (dims/coords/attrs layout, reference
+    utils.py:619-646)."""
+    import sys
+    import types
+
+    class _StubVar:
+        def __init__(self):
+            self.attrs = {}
+
+    class _StubDataset:
+        def __init__(self, data_vars, coords=None, attrs=None):
+            self.data_vars = dict(data_vars)
+            self.coords = dict(coords or {})
+            self.attrs = dict(attrs or {})
+            for name in list(self.data_vars) + list(self.coords):
+                setattr(self, name, _StubVar())
+
+    xr = types.ModuleType("xarray")
+    xr.Dataset = _StubDataset
+    monkeypatch.setitem(sys.modules, "xarray", xr)
+
+    lat = np.linspace(-10, 10, 5)
+    lon = np.linspace(20, 40, 7)
+    depth = np.linspace(0, 1e5, 3)
+    vp = np.arange(3 * 5 * 7, dtype=float).reshape(3, 5, 7)
+    ds = utils.RegularGridData(lat=lat, lon=lon, depth=depth,
+                               data={"VP": vp})
+    x = ds.to_xarray()
+    dims, arr = x.data_vars["VP"]
+    assert dims == ["depth", "latitude", "longitude"]
+    np.testing.assert_allclose(arr, vp)
+    assert set(x.coords) == {"depth", "latitude", "longitude"}
+    assert x.attrs["radius_in_meters"] == R_EARTH_M
+    assert x.depth.attrs["units"] == "m"
+    assert x.latitude.attrs["units"] == "deg"
+
+    md = utils.MeshDataset(
+        data={"VSV": vp.reshape(15, 7)},
+        coords={"x": vp.reshape(15, 7)},
+        gll_order=4, coord_type="cartesian",
+    )
+    mx = md.to_xarray()
+    assert mx.data_vars["VSV"][0] == ["element", "point"]
+    assert mx.attrs["gll_order"] == 4

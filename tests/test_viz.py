@@ -96,3 +96,111 @@ def test_find_good_projection_without_cartopy():
         assert proj is not None
     except ImportError:
         assert proj is None
+
+
+# ---------------------------------------------------------------------------
+# Stub-cartopy coverage: the real package is absent in this image, so the
+# cartopy code path (projection table, GeoAxes plotting with transform=,
+# coastlines/borders/stock_img) never executes otherwise.  A minimal stand-in
+# implementing matplotlib's `_as_mpl_axes` projection protocol exercises it.
+# ---------------------------------------------------------------------------
+
+class _StubGeoAxes(matplotlib.axes.Axes):
+    name = "mmt_stub_geo"
+    last_calls: list = []
+
+    def __init__(self, *args, map_projection=None, **kw):
+        self.projection = map_projection
+        super().__init__(*args, **kw)
+
+    def stock_img(self):
+        _StubGeoAxes.last_calls.append("stock_img")
+
+    def coastlines(self, *a, **k):
+        _StubGeoAxes.last_calls.append("coastlines")
+
+    def add_feature(self, feature, *a, **k):
+        _StubGeoAxes.last_calls.append(("add_feature", feature))
+
+    def pcolormesh(self, *a, transform=None, **k):
+        _StubGeoAxes.last_calls.append(
+            ("pcolormesh", type(transform).__name__))
+        k.setdefault("shading", "auto")
+        return super().pcolormesh(*a, **k)
+
+
+class _StubCRS:
+    def __init__(self, central_longitude=0.0, central_latitude=0.0, **kw):
+        self.central_longitude = central_longitude
+        self.central_latitude = central_latitude
+        self.kwargs = kw
+
+    def _as_mpl_axes(self):
+        return _StubGeoAxes, {"map_projection": self}
+
+
+@pytest.fixture()
+def stub_cartopy(monkeypatch):
+    import sys
+    import types
+
+    crs = types.ModuleType("cartopy.crs")
+    for name in ("PlateCarree", "Mollweide", "Robinson", "Orthographic",
+                 "Mercator", "NorthPolarStereo", "NearsidePerspective"):
+        setattr(crs, name, type(name, (_StubCRS,), {}))
+    feature = types.ModuleType("cartopy.feature")
+    feature.BORDERS = object()
+    pkg = types.ModuleType("cartopy")
+    pkg.crs = crs
+    pkg.feature = feature
+    monkeypatch.setitem(sys.modules, "cartopy", pkg)
+    monkeypatch.setitem(sys.modules, "cartopy.crs", crs)
+    monkeypatch.setitem(sys.modules, "cartopy.feature", feature)
+    _StubGeoAxes.last_calls = []
+    return crs
+
+
+def test_create_projection_table(stub_cartopy):
+    from multimesh_tpu.viz.plotter import create_projection
+
+    # explicit names
+    p = create_projection("Mollweide", central_longitude=40.0)
+    assert type(p).__name__ == "Mollweide" and p.central_longitude == 40.0
+    p = create_projection("NearsidePerspective", central_latitude=10.0,
+                          satellite_height=2e7)
+    assert p.kwargs["satellite_height"] == 2e7
+    # extent-based default choice (reference plotter.py:212-306 semantics)
+    assert type(create_projection(
+        "default", lat_extent=(-90, 90), lon_extent=(-180, 180),
+    )).__name__ == "Robinson"
+    assert type(create_projection(
+        "default", lat_extent=(-60, 60), lon_extent=(-20, 20),
+    )).__name__ == "Orthographic"
+    assert type(create_projection(
+        "default", lat_extent=(-20, 20), lon_extent=(-30, 30),
+    )).__name__ == "Mercator"
+    with pytest.raises(ValueError, match="Cartopy"):
+        create_projection("hammer")
+
+
+def test_plot_depth_slice_cartopy_branch(global_mesh, tmp_path,
+                                         stub_cartopy):
+    fig = api.plot_depth_slice(
+        mesh=global_mesh,
+        depth_in_km=500.0,
+        num=10,
+        parameter_to_plot="VSV",
+        projection="Robinson",
+        coastlines=True,
+        borders=True,
+        stock_img=True,
+        savefig=True,
+        figname=str(tmp_path / "geo.png"),
+    )
+    assert (tmp_path / "geo.png").stat().st_size > 1000
+    calls = _StubGeoAxes.last_calls
+    assert "stock_img" in calls and "coastlines" in calls
+    assert any(c[0] == "add_feature" for c in calls if isinstance(c, tuple))
+    # data went through ax.pcolormesh with a PlateCarree transform
+    assert ("pcolormesh", "PlateCarree") in calls
+    assert type(fig.axes[0]).__name__ == "_StubGeoAxes"
