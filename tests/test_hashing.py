@@ -35,10 +35,11 @@ def test_rectangle_corner_collision_class():
     b = a.copy()
     d = 7
     r1, r2, c1, c2 = 1, 5, 3, 907
-    b[r1, c1] += d
-    b[r1, c2] -= d
-    b[r2, c1] -= d
-    b[r2, c2] += d
+    with np.errstate(over="ignore"):  # uint32 wraparound is the point
+        b[r1, c1] += d
+        b[r1, c2] -= d
+        b[r2, c1] -= d
+        b[r2, c2] += d
     assert content_hash(a) != content_hash(b)
 
 
