@@ -193,11 +193,16 @@ class Exodus:
             extra = [
                 v for v in f.variables if not self._MODELED_VARS.match(v)
             ]
-        if extra:
+            n_steps = f.variables["time_whole"].shape[0] \
+                if "time_whole" in f.variables else 1
+        if extra or (n_steps or 0) > 1:
+            what = sorted(extra)[:6] if extra else (
+                f"{n_steps} timesteps (this writer keeps only step 0)"
+            )
             raise KeyError(
                 f"variable {name!r} is not declared in the file, and the "
                 f"file contains structures this writer does not model "
-                f"({sorted(extra)[:6]}...); declaring a new variable "
+                f"({what}); declaring a new variable "
                 "would rewrite the file and drop them. Add the variable "
                 "with the tool that produced the mesh instead."
             )
@@ -299,6 +304,16 @@ def write_exodus(
         eb = f.createVariable("eb_prop1", "i", ("num_el_blk",))
         eb[:] = np.array([1], np.int32)
         eb.name = b"ID"
+        ebs = f.createVariable("eb_status", "i", ("num_el_blk",))
+        ebs[:] = np.array([1], np.int32)
+        cn = f.createVariable(
+            "coor_names", "c", ("num_dim", "len_string")
+        )
+        cn[:] = _strings_to_chars(list("xyz"[:ndim]), 33)
+        ebn = f.createVariable(
+            "eb_names", "c", ("num_el_blk", "len_string")
+        )
+        ebn[:] = _strings_to_chars([""], 33)
         t = f.createVariable("time_whole", "d", ("time_step",))
         t[0] = 0.0
 

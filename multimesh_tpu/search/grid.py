@@ -267,15 +267,19 @@ def _checksum_jit(x):
     return jnp.stack(hs)
 
 _FP_CACHE: dict = {}
-_FP_HOST_CACHE: dict = {}  # id -> (strong ref, guard digest, fp)
+_FP_HOST_CACHE: dict = {}  # id -> (weakref, guard digest, fp)
 
 from ..hashing import content_hash as _host_content_hash  # noqa: E402
 
 
 def _guard_digest(a: np.ndarray) -> bytes:
     """Cheap strided sample digest (~64K bytes read regardless of size);
-    recomputed on every identity-cache hit to catch the
-    unfreeze-mutate-refreeze pattern that id+frozen checks cannot see."""
+    recomputed on every identity-cache hit as a tripwire for the
+    unfreeze-mutate-refreeze pattern that id+frozen checks cannot see.
+    It is a SAMPLE: bulk rewrites always trip it, but a sparse edit of
+    an array much larger than 64 KB can land between sample points, so
+    it is a best-effort guard, not a guarantee -- freezing an array is
+    the caller's promise that the buffer will not change."""
     import hashlib
 
     b8 = a.reshape(-1).view(np.uint8)
@@ -300,27 +304,28 @@ def _fingerprint(sources) -> tuple:
         # Read-only host arrays opt in to identity caching: freezing
         # with arr.setflags(write=False) promises the buffer will not
         # change, so the (GB-scale) content hash is paid once per mesh
-        # instead of once per locate/build.  numpy arrays cannot be
-        # weakref'd, so the cache holds a STRONG reference (an id cannot
-        # be reused while its entry lives); every hit re-checks a cheap
-        # strided guard digest, so unfreeze-mutate-refreeze falls back
-        # to a full rehash instead of serving a stale fingerprint.
-        # Caveat: mutating the same buffer through another writable
-        # view can still dodge the guard if the sample misses the edit
-        # -- freeze the base array and keep the promise.
+        # instead of once per locate/build.  The cache holds a WEAKREF
+        # (so GB-scale meshes are freed with their last caller, and a
+        # reused id of a dead array can never match); every hit
+        # re-checks a cheap strided guard digest as a best-effort
+        # tripwire for unfreeze-mutate-refreeze (see _guard_digest for
+        # its sampling limits -- the freeze is the caller's promise).
         frozen = not sources.flags.writeable
         guard = _guard_digest(sources) if frozen else None
         if frozen:
             ent = _FP_HOST_CACHE.get(id(sources))
-            if ent is not None and ent[0] is sources and ent[1] == guard:
+            if ent is not None and ent[0]() is sources and ent[1] == guard:
                 return ent[2]
         with stage_timer("fingerprint.host"):
             fp = (sources.shape, str(sources.dtype),
                   _host_content_hash(sources))
         if frozen:
-            if len(_FP_HOST_CACHE) > 4:
+            dead = [k for k, e in _FP_HOST_CACHE.items() if e[0]() is None]
+            for k in dead:
+                del _FP_HOST_CACHE[k]
+            if len(_FP_HOST_CACHE) > 8:
                 _FP_HOST_CACHE.clear()
-            _FP_HOST_CACHE[id(sources)] = (sources, guard, fp)
+            _FP_HOST_CACHE[id(sources)] = (weakref.ref(sources), guard, fp)
         return fp
     key_id = id(sources)
     ent = _FP_CACHE.get(key_id)

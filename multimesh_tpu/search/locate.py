@@ -1005,7 +1005,14 @@ def locate(
         # best-so-far over all candidates, which needs the scan.)
         glo = prep["lo"].min(axis=0)
         ghi = prep["hi"].max(axis=0)
-        eps = 1e-5 * (ghi - glo)
+        # accept_tol admits points up to ~(accept_tol-1)/2 of an element
+        # extent beyond the hull, so the exclusion halo must cover that
+        # band or near-boundary exterior points crowded out of the
+        # rescue buckets would silently skip the scan retry that could
+        # still accept them.  Use the largest element extent per axis
+        # with a 2x safety factor (curvature/shear) plus fp slack.
+        elem_ext = (prep["hi"] - prep["lo"]).max(axis=0)
+        eps = (cfg.accept_tol - 1.0) * elem_ext + 1e-5 * (ghi - glo)
         inside_global = jnp.all(
             (points >= glo - eps) & (points <= ghi + eps), axis=-1
         )

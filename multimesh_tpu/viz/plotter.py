@@ -197,15 +197,17 @@ def plot_depth_slice(
     )
 
     fig = plt.figure(figsize=figsize)
-    proj = (
-        create_projection(
+    if not _have_cartopy():
+        proj = None
+    elif projection is not None and not isinstance(projection, str):
+        # a ready cartopy CRS object passes through untouched
+        proj = projection
+    else:
+        proj = create_projection(
             name=projection if isinstance(projection, str) else "default",
             lat_extent=lat_extent,
             lon_extent=lon_extent,
         )
-        if _have_cartopy()
-        else None
-    )
     if proj is not None:  # pragma: no cover - cartopy branch
         import cartopy.crs as ccrs
         import cartopy.feature as cfeature

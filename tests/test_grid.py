@@ -92,7 +92,7 @@ def test_fingerprint_frozen_identity_cache(rng):
     arr.setflags(write=False)
     fp_frozen = _fingerprint(arr)
     assert fp_frozen == fp_writable
-    assert _FP_HOST_CACHE[id(arr)][0] is arr
+    assert _FP_HOST_CACHE[id(arr)][0]() is arr  # held via weakref
     assert _fingerprint(arr) == fp_frozen  # served from the cache
 
     other = arr.copy()
@@ -106,3 +106,12 @@ def test_fingerprint_frozen_identity_cache(rng):
     arr[7, 2] += 3.0
     arr.setflags(write=False)
     assert _fingerprint(arr) != fp_frozen
+
+    # the identity cache must not pin GB-scale meshes alive: entries
+    # hold weakrefs, so dropping the caller's last reference frees it
+    import gc
+
+    key = id(arr)
+    del arr
+    gc.collect()
+    assert _FP_HOST_CACHE[key][0]() is None

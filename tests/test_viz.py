@@ -204,3 +204,20 @@ def test_plot_depth_slice_cartopy_branch(global_mesh, tmp_path,
     # data went through ax.pcolormesh with a PlateCarree transform
     assert ("pcolormesh", "PlateCarree") in calls
     assert type(fig.axes[0]).__name__ == "_StubGeoAxes"
+
+
+def test_plot_depth_slice_projection_object(global_mesh, tmp_path,
+                                            stub_cartopy):
+    # a ready CRS object (not a name) must be used verbatim, not replaced
+    # by the extent-derived default
+    proj = stub_cartopy.Mollweide(central_longitude=120.0)
+    fig = api.plot_depth_slice(
+        mesh=global_mesh,
+        depth_in_km=500.0,
+        num=8,
+        parameter_to_plot="VSV",
+        projection=proj,
+        savefig=True,
+        figname=str(tmp_path / "obj.png"),
+    )
+    assert fig.axes[0].projection is proj
