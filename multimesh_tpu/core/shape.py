@@ -96,15 +96,17 @@ def element_center_scale(elem_nodes):
     return center, scale
 
 
-def _newton_iterations(order, nodes_c, point_c, ref0, n_iters, rtol, clamp):
+def _newton_iterations(order, nodes_c, point_c, ref0, n_iters, clamp):
     """Run ``n_iters`` Newton steps on centered/scaled coordinates.
 
     nodes_c: [..., n, d] (centered, unit-scale), point_c: [..., d],
-    ref0: [..., d] initial guess.  Returns (ref, residual_inf_norm).
-    Fixed-trip-count fori_loop: branchless and XLA-friendly.
+    ref0: [..., d] initial guess.  Returns (ref, residual_inf_norm at
+    the final iterate).  Fixed-trip-count fori_loop, branchless and
+    XLA-friendly: no tolerance enters the loop -- convergence is judged
+    ONLY by the caller, from the returned residual (inverse_map applies
+    cfg.newton_rtol there).
     """
-    def body(_, carry):
-        ref, _res = carry
+    def body(_, ref):
         x = forward_map(order, nodes_c, ref)
         r = point_c - x
         jac = shape_jacobian(order, nodes_c, ref)
@@ -116,14 +118,10 @@ def _newton_iterations(order, nodes_c, point_c, ref0, n_iters, rtol, clamp):
         # distant candidates) are likewise zeroed instead of poisoning the
         # batch with NaNs.
         step = jnp.where(jnp.isfinite(step), step, 0.0)
-        new_ref = jnp.clip(ref + step, -clamp, clamp)
-        res = jnp.max(jnp.abs(r), axis=-1)
-        return new_ref, res
+        return jnp.clip(ref + step, -clamp, clamp)
 
-    ref, res = jax.lax.fori_loop(
-        0, n_iters, body, (ref0, jnp.full(ref0.shape[:-1], jnp.inf, ref0.dtype))
-    )
-    # One final residual evaluation at the final iterate.
+    ref = jax.lax.fori_loop(0, n_iters, body, ref0)
+    # One residual evaluation at the final iterate.
     x = forward_map(order, nodes_c, ref)
     res = jnp.max(jnp.abs(point_c - x), axis=-1)
     return ref, res
@@ -178,13 +176,12 @@ def inverse_map(
         point_c.astype(bulk_dt),
         ref0.astype(bulk_dt),
         cfg.newton_iters,
-        cfg.newton_rtol,
         cfg.newton_clamp,
     )
     ref = ref.astype(acc_dt)
     if cfg.polish_iters > 0:
         ref, res = _newton_iterations(
-            order, nodes_c, point_c, ref, cfg.polish_iters, cfg.newton_rtol,
+            order, nodes_c, point_c, ref, cfg.polish_iters,
             cfg.newton_clamp,
         )
     else:

@@ -51,6 +51,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _engine_prep(engine: str, nodes, corners, lo, hi):
+    """Per-element centering for the pallas engine (split-f32 centers +
+    normalized f32 lattices), shared by the replicated and source-sharded
+    paths so the numerics cannot drift apart.  Non-pallas engines get
+    tiny placeholders (never read).  Returns (centering, nodes_c32,
+    corners_c32)."""
+    if engine != "pallas":
+        z = jnp.zeros((1,), jnp.float32)
+        return (z, z, z), z, z
+    centers = 0.5 * (lo + hi)
+    scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
+    nodes_c32 = (
+        (nodes - centers[:, None, :]) / scales[:, None, None]
+    ).astype(jnp.float32)
+    corners_c32 = (
+        (corners - centers[:, None, :]) / scales[:, None, None]
+    ).astype(jnp.float32)
+    ctr_hi = centers.astype(jnp.float32)
+    ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(jnp.float32)
+    inv_scale = (1.0 / scales).astype(jnp.float32)
+    return (ctr_hi, ctr_lo, inv_scale), nodes_c32, corners_c32
+
+
 def _device_knn(points, centroids, k: int):
     """Per-shard exact kNN: |q|^2 - 2qc + |c|^2 matmul (MXU) + top_k.
     Inputs are already centered by the caller.
@@ -127,25 +150,9 @@ def sharded_transfer(
     lo = jnp.min(elem_nodes, axis=1)
     hi = jnp.max(elem_nodes, axis=1)
 
-    if engine == "pallas":
-        centers = 0.5 * (lo + hi)
-        scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
-        nodes_c32 = (
-            (elem_nodes - centers[:, None, :]) / scales[:, None, None]
-        ).astype(jnp.float32)
-        corners_c32 = (
-            (corners - centers[:, None, :]) / scales[:, None, None]
-        ).astype(jnp.float32)
-        ctr_hi = centers.astype(jnp.float32)
-        ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
-            jnp.float32
-        )
-        inv_scale = (1.0 / scales).astype(jnp.float32)
-        centering = (ctr_hi, ctr_lo, inv_scale)
-    else:
-        z = jnp.zeros((1,), jnp.float32)
-        centering = (z, z, z)
-        nodes_c32 = corners_c32 = z
+    centering, nodes_c32, corners_c32 = _engine_prep(
+        engine, elem_nodes, corners, lo, hi
+    )
 
     pts_sharding = NamedSharding(mesh, P(axis))
     pts_dev = jax.device_put(jnp.asarray(points), pts_sharding)
@@ -351,15 +358,16 @@ def source_sharded_transfer(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    def _shard_fn(pts_s, nodes_s, gmap_s, fields_s):
+    def _shard_fn(pts_s, nodes_s, gmap_s, fields_s, counts_s):
         pts = pts_s[0]          # [P, d]
         nodes = nodes_s[0]      # [Ep, n, d]
         gm = gmap_s[0]          # [Ep]
         flds = fields_s[0]      # [F, Ep, n]
+        nv = counts_s[0]        # scalar: valid (unpadded) rows
         me = jax.lax.axis_index(axis)
 
         corners = nodes[:, corner_idx]
@@ -370,25 +378,9 @@ def source_sharded_transfer(
             jnp.where((gm >= 0)[:, None], cents, 0.0), axis=0
         ) / jnp.maximum(jnp.sum(gm >= 0), 1)
 
-        if engine == "pallas":
-            centers = 0.5 * (lo + hi)
-            scales = jnp.maximum(0.5 * jnp.max(hi - lo, axis=-1), 1e-30)
-            nodes_c32 = (
-                (nodes - centers[:, None, :]) / scales[:, None, None]
-            ).astype(jnp.float32)
-            corners_c32 = (
-                (corners - centers[:, None, :]) / scales[:, None, None]
-            ).astype(jnp.float32)
-            ctr_hi = centers.astype(jnp.float32)
-            ctr_lo = (centers - ctr_hi.astype(centers.dtype)).astype(
-                jnp.float32
-            )
-            inv_scale = (1.0 / scales).astype(jnp.float32)
-            centering = (ctr_hi, ctr_lo, inv_scale)
-        else:
-            z = jnp.zeros((1,), jnp.float32)
-            centering = (z, z, z)
-            nodes_c32 = corners_c32 = z
+        centering, nodes_c32, corners_c32 = _engine_prep(
+            engine, nodes, corners, lo, hi
+        )
 
         def locate_rows(rows):
             cand = _device_knn(rows - ctr, cents - ctr, k)
@@ -461,15 +453,46 @@ def source_sharded_transfer(
         )
         found = score_f < limit
         vals = jnp.where(found[:, None], vals_f, 0.0)
-        return vals[None], found[None]
+        # real (unpadded) local misses beyond the cross-chip retry
+        # window kept their local best without the all_gather retry --
+        # report the count so the caller is never silently short-changed
+        # (pad rows sort after real misses, so real misses always fill
+        # the window first)
+        valid = jnp.arange(pts.shape[0]) < nv
+        miss1 = jnp.sum(jnp.logical_and(~acc1, valid))
+        overflow = jnp.maximum(miss1 - B, 0)
+        return vals[None], found[None], overflow[None]
 
-    vals_sh, found_sh = _shard_fn(
-        jnp.asarray(pts_sh), jnp.asarray(nodes_sh), jnp.asarray(gmap),
-        jnp.asarray(fields_sh),
+    # device_put with the mesh sharding splits each [n_dev, ...] host
+    # array straight onto its owning chip; a plain jnp.asarray would
+    # materialize the FULL padded source on one device first -- exactly
+    # the HBM blow-up this source-sharded mode exists to avoid
+    shard0 = NamedSharding(mesh, P(axis))
+    vals_sh, found_sh, overflow_sh = _shard_fn(
+        jax.device_put(pts_sh, shard0),
+        jax.device_put(nodes_sh, shard0),
+        jax.device_put(gmap, shard0),
+        jax.device_put(fields_sh, shard0),
+        jax.device_put(counts_p.astype(np.int32), shard0),
     )
     vals_sh = np.asarray(vals_sh)
+    found_np = np.asarray(found_sh)
+    n_overflow = int(np.asarray(overflow_sh).sum())
+    if n_overflow:
+        print(
+            f"{n_overflow} points missed locally but did not fit the "
+            f"cross-chip retry window (B={B} per chip) and kept their "
+            "local result; lower retry_frac to widen the window"
+        )
     out = np.zeros((N, F))
+    unfound = 0
     for s in range(n_dev):
         rows = perm_p[starts[s] : starts[s + 1]]
         out[rows] = vals_sh[s, : counts_p[s]]
+        unfound += int((~found_np[s, : counts_p[s]]).sum())
+    if unfound:
+        print(
+            f"{unfound} points could not find an enclosing element "
+            "across any source shard. These points will be set to zero."
+        )
     return out

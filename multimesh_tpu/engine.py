@@ -72,7 +72,12 @@ def _as_salvus(mesh, fast_mode=False) -> sio.SalvusMesh:
 
 
 class _DuckMesh:
-    """Minimal SalvusMesh-compatible view over a live mesh object."""
+    """SalvusMesh-compatible view over a live mesh object: the derived
+    geometry attributes the engine reads (``dimensions``, ``nelem``,
+    ``n_gll_points``) plus field access and write-back delegated to the
+    wrapped object, so duck-typed inputs work on every engine path
+    (interpolate_to_mesh, the layered transfers), not just
+    interpolate_to_points."""
 
     def __init__(self, elem_points: np.ndarray, source):
         self.points = elem_points
@@ -83,6 +88,22 @@ class _DuckMesh:
         ) - 1
 
     @property
+    def dimensions(self) -> int:
+        return self.points.shape[2]
+
+    @property
+    def nelem(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_gll_points(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def global_strings(self):
+        return getattr(self._source, "global_strings", {})
+
+    @property
     def element_nodal_fields(self):
         enf = getattr(self._source, "element_nodal_fields", None)
         if enf is None:
@@ -91,6 +112,40 @@ class _DuckMesh:
                 "path or a SalvusMesh for field access"
             )
         return enf
+
+    def get_element_nodal_fields(self):
+        get = getattr(self._source, "get_element_nodal_fields", None)
+        if get is not None:
+            return get()
+        return self.element_nodal_fields
+
+    def get_elemental_fields(self):
+        get = getattr(self._source, "get_elemental_fields", None)
+        if get is not None:
+            return get()
+        ef = getattr(self._source, "elemental_fields", None)
+        if ef is None:
+            raise AttributeError(
+                "mesh object has no elemental fields; the layered paths "
+                "need a SalvusMesh or file path"
+            )
+        return ef
+
+    def attach_field(self, name, data):
+        att = getattr(self._source, "attach_field", None)
+        if att is not None:
+            return att(name, data)
+        self.element_nodal_fields[name] = np.asarray(data)
+
+
+def _nodal_fields(mesh) -> dict:
+    """Element-nodal fields of any mesh-like input.  Prefers the lazy
+    accessor: a user-constructed ``SalvusMesh`` defaults to
+    ``fast_mode=True``, where the raw ``element_nodal_fields`` dict is
+    empty until first access -- reading it directly would silently turn
+    ``parameters="all"`` into a no-op transfer."""
+    get = getattr(mesh, "get_element_nodal_fields", None)
+    return get() if get is not None else mesh.element_nodal_fields
 
 
 # -------------------------------------------------------------------------
@@ -213,13 +268,38 @@ def _layered_operators(
         else None
     )
     ops: Dict[str, TransferOperator] = {}
-    fp = content_fingerprint(original_mesh.points, new_mesh.points)
+    # geometry fingerprint + locate semantics form the cache key: the
+    # three layered entry points share the same file name but differ in
+    # accept tolerance and fallback mode, and a layer selection not in
+    # the cached set must rebuild, not KeyError.  Without stored_array
+    # there is no cache to guard, so the (GB-scale on big meshes) host
+    # hash is skipped entirely.
+    sem = f"{accept_tol}/{fallback}/{int(use_aabb)}/{nelem_to_search}"
+    fp = (
+        content_fingerprint(original_mesh.points, new_mesh.points)
+        if cache_path
+        else None
+    )
     if cache_path and os.path.exists(cache_path):
         with h5py.File(cache_path, "r") as f:
+            cached_sem = f.attrs.get("semantics", "")
+            if isinstance(cached_sem, bytes):
+                cached_sem = cached_sem.decode()
             if int(f.attrs.get("fingerprint", 0)) != fp:
                 print(
                     f"Ignoring stored interp_info at {cache_path}: built "
                     "from different geometry"
+                )
+            elif cached_sem != sem:
+                print(
+                    f"Ignoring stored interp_info at {cache_path}: built "
+                    f"with different locate semantics ({cached_sem!r} != "
+                    f"{sem!r})"
+                )
+            elif not all(f"elements/{l}" in f for l in uniq):
+                print(
+                    f"Ignoring stored interp_info at {cache_path}: does "
+                    "not cover the requested layers"
                 )
             else:
                 for layer in uniq:
@@ -249,6 +329,7 @@ def _layered_operators(
         os.makedirs(str(stored_array), exist_ok=True)
         with h5py.File(cache_path, "w") as f:
             f.attrs["fingerprint"] = np.uint64(fp)
+            f.attrs["semantics"] = sem
             for layer, op in ops.items():
                 f.create_dataset(f"coeffs/{layer}", data=op.weights)
                 f.create_dataset(f"elements/{layer}", data=op.elements)
@@ -266,13 +347,13 @@ def _layered_apply_and_write(
     # all parameters in one device pass per layer, one host pull each
     # (per-(param, layer) applies cost a device->host transfer per call)
     new_fields = {
-        p: np.array(new_mesh.element_nodal_fields[p], copy=True)
+        p: np.array(_nodal_fields(new_mesh)[p], copy=True)
         for p in parameters
     }
     for layer, op in ops.items():
         src = np.stack(
             [
-                original_mesh.element_nodal_fields[p][src_masks[layer]]
+                _nodal_fields(original_mesh)[p][src_masks[layer]]
                 for p in parameters
             ]
         )  # [P, E_layer, n]
@@ -304,7 +385,7 @@ def gll_2_gll_layered(
         map_to_sphere(original_mesh)
     if parameters == "all":
         parameters = [
-            p for p in original_mesh.element_nodal_fields
+            p for p in _nodal_fields(original_mesh)
             if p != "z_node_1D"
         ]
     parameters = utils.pick_parameters(parameters)
@@ -366,7 +447,7 @@ def gll_2_gll_layered_multi_two(
         map_to_sphere(original_mesh)
     if parameters == "all":
         parameters = [
-            p for p in original_mesh.element_nodal_fields
+            p for p in _nodal_fields(original_mesh)
             if p != "z_node_1D"
         ]
     parameters = utils.pick_parameters(parameters)
@@ -677,7 +758,7 @@ def interpolate_to_points(
             "the interpolation tuning parameters"
         )
     fields = np.stack(
-        [mesh.element_nodal_fields[p] for p in params_to_interp]
+        [_nodal_fields(mesh)[p] for p in params_to_interp]
     )
     return op.apply(fields)
 
@@ -697,7 +778,7 @@ def interpolate_to_points_layered(
         map_to_sphere(original_mesh)
     if parameters == "all":
         parameters = [
-            p for p in original_mesh.element_nodal_fields
+            p for p in _nodal_fields(original_mesh)
             if p != "z_node_1D"
         ]
     parameters = utils.pick_parameters(parameters)

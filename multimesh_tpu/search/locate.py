@@ -515,7 +515,7 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
         )
         ref64, _res = _newton_iterations(
             order, nodes64, p_c64, ref.astype(jnp.float64), 2,
-            cfg.newton_rtol, cfg.newton_clamp,
+            cfg.newton_clamp,
         )
         ref = jnp.where(acc[:, None], ref64, ref.astype(jnp.float64))
         best_ref = best_ref.astype(jnp.float64)

@@ -277,3 +277,90 @@ def test_exodus_2_exodus_2d(tmp_path, rng):
         order=1,
     )
     np.testing.assert_allclose(got, oracle_vals, rtol=1e-9)
+
+
+def test_layered_cache_rejects_different_semantics(tmp_path):
+    """interp_info.h5 built by gll_2_gll_layered (1.04/fixed_ref/AABB)
+    must NOT be served to gll_2_gll_layered_multi_two (tolerance/snap):
+    the cache key includes the locate semantics, not just geometry."""
+    import h5py
+
+    src = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=3, order=2, n_layers=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=3, order=2, n_layers=2,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    sp, tp = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(sp, src, parameters=("VP",))
+    mmt.write_salvus_fixture(tp, tgt, parameters=("VP",))
+    cache = tmp_path / "cache"
+
+    api.gll_2_gll_layered(
+        from_gll=str(sp), to_gll=str(tp), layers="all",
+        parameters=["VP"], stored_array=str(cache),
+    )
+    with h5py.File(cache / "interp_info.h5", "r") as f:
+        sem1 = f.attrs["semantics"]
+    assert "fixed_ref" in str(sem1)
+
+    mmt.write_salvus_fixture(tp, tgt, parameters=("VP",))
+    api.gll_2_gll_layered_multi_two(
+        from_gll=str(sp), to_gll=str(tp), layers="all",
+        parameters=["VP"], stored_array=str(cache),
+    )
+    # rebuilt under the snap semantics, not silently reused
+    with h5py.File(cache / "interp_info.h5", "r") as f:
+        sem2 = f.attrs["semantics"]
+    assert "snap" in str(sem2) and str(sem2) != str(sem1)
+
+    out = SalvusMesh(tp, fast_mode=False)
+    truth = mmt.smooth_field(tgt.points)
+    assert np.max(np.abs(out.element_nodal_fields["VP"] - truth)) < 2e-2
+
+
+def test_layered_parameters_all_with_fast_mode_mesh(tmp_path):
+    """A user-constructed SalvusMesh keeps its default fast_mode=True
+    (fields lazy); parameters='all' must still expand to the real field
+    list instead of silently transferring nothing."""
+    src = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=3, order=2, n_layers=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=3, order=2, n_layers=2,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    sp, tp = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(sp, src, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(tp, tgt, parameters=("VP", "VS"),
+                             field_kind="linear")
+    m = SalvusMesh(sp)  # fast_mode=True: element_nodal_fields starts {}
+    api.gll_2_gll_layered(
+        from_gll=m, to_gll=str(tp), layers="all", parameters="all",
+    )
+    out = SalvusMesh(tp, fast_mode=False)
+    truth = mmt.smooth_field(tgt.points)
+    assert np.max(np.abs(out.element_nodal_fields["VP"] - truth)) < 2e-2
+
+
+def test_interpolate_to_mesh_duck_objects(tmp_path):
+    """Live mesh objects (element-nodal points + fields dict, no file)
+    work through interpolate_to_mesh: geometry attrs, field access and
+    attach_field all run on the duck-typed wrapper."""
+    from multimesh_tpu.config import R_EARTH_M
+
+    src = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=2, order=2)
+    tgt = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+
+    class Duck:
+        def __init__(self, mesh):
+            self.points = mesh.points.copy()
+            self.element_nodal_fields = {
+                "VP": mmt.element_nodal_field(mesh, "smooth"),
+                "z_node_1D": np.linalg.norm(self.points, axis=-1)
+                / R_EARTH_M,
+            }
+
+    old, new = Duck(src), Duck(tgt)
+    new.element_nodal_fields["VP"] = np.zeros(
+        (tgt.nelem, tgt.points.shape[1])
+    )
+    api.interpolate_to_mesh(old, new, params_to_interp=["VP"])
+    truth = mmt.smooth_field(tgt.points)
+    got = new.element_nodal_fields["VP"]
+    assert np.max(np.abs(got - truth)) < 2e-2
