@@ -49,7 +49,13 @@ def parse_dim_label(label) -> List[str]:
 
 
 def read_dim_labels(dataset, axis: int = 1) -> List[str]:
-    return parse_dim_label(dataset.attrs.get("DIMENSION_LABELS")[axis])
+    labels = dataset.attrs.get("DIMENSION_LABELS")
+    if labels is None:
+        raise KeyError(
+            f"dataset {dataset.name!r} has no DIMENSION_LABELS attribute; "
+            "parameter names cannot be inferred (not a Salvus-format mesh?)"
+        )
+    return parse_dim_label(labels[axis])
 
 
 def write_dim_labels(f: h5py.File, path: str, parameters: List[str]):
@@ -225,7 +231,14 @@ def load_hdf5_params(
     with h5py.File(str(gll_file), "r") as f:
         points = np.asarray(f[coordinates_path][()], dtype=np.float64)
         data = f[model_path][()]
-        label = f[model_path].attrs.get("DIMENSION_LABELS")[1]
+        labels = f[model_path].attrs.get("DIMENSION_LABELS")
+        if labels is None:
+            raise KeyError(
+                f"dataset {model_path!r} has no DIMENSION_LABELS "
+                "attribute; parameter names cannot be inferred (not a "
+                "Salvus-format mesh?)"
+            )
+        label = labels[1]
         if isinstance(label, bytes):
             label = label.decode()
         params = label.replace(" ", "").replace("grad", "")[1:-1].split("|")

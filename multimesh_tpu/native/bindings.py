@@ -82,7 +82,21 @@ def centroids(connectivity: np.ndarray, points: np.ndarray) -> np.ndarray:
     return out
 
 
+# the C runtime's Basis1D uses fixed stack storage (kMaxOrder = 8 in
+# native/src/mmt_native.cpp); out-of-range orders must fail loudly here,
+# never reach the kernels
+_MAX_ORDER = 8
+
+
+def _check_order(order: int):
+    if not 1 <= int(order) <= _MAX_ORDER:
+        raise ValueError(
+            f"order must be in [1, {_MAX_ORDER}], got {order}"
+        )
+
+
 def gll_basis(order: int, ref: np.ndarray) -> np.ndarray:
+    _check_order(order)
     lib = load()
     ref = np.ascontiguousarray(ref, np.float64)
     n, dim = ref.shape
@@ -98,6 +112,7 @@ def inverse_map(
     max_iter: int = 50,
     rtol: float = 1e-12,
 ):
+    _check_order(order)
     lib = load()
     nodes = np.ascontiguousarray(elem_nodes, np.float64)
     pts = np.ascontiguousarray(points, np.float64)
@@ -125,6 +140,7 @@ def locate(
     rtol: float = 1e-12,
 ):
     """Candidate-scan locate; returns (elements, refs, weights, n_failed)."""
+    _check_order(order)
     lib = load()
     pts = np.ascontiguousarray(points, np.float64)
     cand = np.ascontiguousarray(candidates, np.int64)

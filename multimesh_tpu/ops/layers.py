@@ -39,7 +39,10 @@ def resolve_layers(
     mesh_layers = np.sort(np.unique(layer_field))[::-1].astype(int)
     if isinstance(layers, (list, np.ndarray)):
         layers = np.asarray(layers, dtype=int)
-        if layers.max() > mesh_layers.max() or layers.min() < mesh_layers.min():
+        # membership, not just range: an in-range id absent from a mesh
+        # with non-contiguous layer ids would otherwise produce an
+        # all-false mask and crash obscurely downstream
+        if not np.isin(layers, mesh_layers).all():
             raise ValueError(
                 f"requested layers {layers.tolist()} not all in mesh "
                 f"layers {mesh_layers.tolist()}"

@@ -192,6 +192,12 @@ def approx_knn(
     E = sources_perm.shape[0]
     k_eff = min(k, E)
     N = queries.shape[0]
+    if N == 0:
+        return (jnp.zeros((0, k), jnp.float32),
+                jnp.zeros((0, k), jnp.int32))
+    # bound the fully materialized [query_chunk, E] f32 distance matrix
+    # to ~2 GB (same guard as the exact path)
+    query_chunk = min(query_chunk, max(8_192, (1 << 29) // max(E, 1)))
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]
@@ -234,6 +240,8 @@ def knn(
     E = sources.shape[0]
     N = queries.shape[0]
     k_eff = min(k, E)
+    if N == 0:
+        return (jnp.zeros((0, k), dtype), jnp.zeros((0, k), jnp.int32))
     # bound the [query_chunk, E] coarse-distance buffer to ~2 GB
     max_rows = max(8_192, (1 << 29) // max(E, 1))
     query_chunk = min(query_chunk, max_rows)

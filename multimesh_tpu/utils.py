@@ -310,7 +310,9 @@ class RegularGridData:
                 for k, v in f.variables.items()
                 if k not in ("latitude", "longitude", "depth")
             }
-        return cls(lat=lat, lon=lon, depth=depth, data=data)
+            attrs = {"radius_in_meters": float(
+                getattr(f, "radius_in_meters", R_EARTH_M))}
+        return cls(lat=lat, lon=lon, depth=depth, data=data, attrs=attrs)
 
     def to_xarray(self):  # pragma: no cover - xarray not in CI image
         import xarray as xr
@@ -386,21 +388,26 @@ def create_dataset(
     for m in masks.values():
         mask |= m
 
+    # lazy accessor: a fast_mode SalvusMesh has an empty raw dict until
+    # first access -- reading it directly would yield an empty dataset
+    fields = mesh.get_element_nodal_fields() if hasattr(
+        mesh, "get_element_nodal_fields"
+    ) else mesh.element_nodal_fields
     params = list(parameters)
     if params and params[0] == "all":
         params = [
             p
-            for p in mesh.element_nodal_fields
+            for p in fields
             if p not in ("radius", "z_node_1D")
         ]
-    data = {p: mesh.element_nodal_fields[p][mask] for p in params}
+    data = {p: fields[p][mask] for p in params}
     nodes = mesh.points[mask]
     if coords == "cartesian":
         coord_map = {
             "x": nodes[..., 0], "y": nodes[..., 1], "z": nodes[..., 2],
         }
     elif coords == "spherical":
-        r = mesh.element_nodal_fields["z_node_1D"][mask] * R_EARTH_M
+        r = fields["z_node_1D"][mask] * R_EARTH_M
         colat = np.arctan2(
             np.sqrt(nodes[..., 0] ** 2 + nodes[..., 1] ** 2), nodes[..., 2]
         )
@@ -408,7 +415,12 @@ def create_dataset(
         coord_map = {"radius": r, "colatitude": colat, "longitude": lon}
     else:
         raise ValueError(f"Coordinate type: {coords} is not supported")
-    gll_order = int(round(mesh.n_gll_points ** (1.0 / 3.0)) - 1)
+    # the mesh knows its own order (dimension-aware); recomputing it
+    # here with a hardcoded cube root would be wrong for 2D meshes
+    gll_order = int(getattr(
+        mesh, "shape_order",
+        round(mesh.n_gll_points ** (1.0 / 3.0)) - 1,
+    ))
     return MeshDataset(data=data, coords=coord_map, gll_order=gll_order,
                        coord_type=coords)
 

@@ -169,7 +169,6 @@ bool newton_inverse(const Basis1D& b, const double* nodes, int dim,
   for (int d = 0; d < dim; ++d) scale = std::max(scale, hi[d] - lo[d]);
   double tol = rtol * std::max(scale, 1e-300);
 
-  std::vector<double> basis(nn), d0(nn), d1(nn), d2(nn);
   double l[3][kMaxNodes1D], dl[3][kMaxNodes1D];
 
   for (int d = 0; d < dim; ++d) ref[d] = 0.0;
@@ -263,6 +262,7 @@ void mmt_centroids(int64_t nelem, int64_t nodes_per_elem, int64_t ndim,
 // ref [n, dim] -> out [n, (order+1)^dim]
 void mmt_gll_basis(int64_t n, int32_t order, int32_t dim, const double* ref,
                    double* out) {
+  if (order < 1 || order > kMaxOrder) return;  // bindings validate loudly
   Basis1D b(order);
   int64_t nn = 1;
   for (int d = 0; d < dim; ++d) nn *= b.n;
@@ -278,6 +278,10 @@ void mmt_inverse_map(int64_t n, int32_t order, int32_t dim,
                      const double* elem_nodes, const double* points,
                      int32_t max_iter, double rtol, double* refs,
                      uint8_t* converged) {
+  if (order < 1 || order > kMaxOrder) {
+    std::memset(converged, 0, n);  // bindings validate loudly
+    return;
+  }
   Basis1D b(order);
   int64_t nn = 1;
   for (int d = 0; d < dim; ++d) nn *= b.n;
@@ -305,6 +309,7 @@ int64_t mmt_locate(int64_t npts, int64_t k, int64_t nelem, int32_t order,
                    double snap_clip, double fallback_max, int32_t max_iter,
                    double rtol, int64_t* elements, double* refs,
                    double* weights) {
+  if (order < 1 || order > kMaxOrder) return -1;  // bindings validate loudly
   Basis1D b(order);
   int64_t nn = 1;
   for (int d = 0; d < dim; ++d) nn *= b.n;

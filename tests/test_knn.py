@@ -54,3 +54,15 @@ def test_knn_query_chunking(rng):
     d2a, idxa = knn(src, q, 5, query_chunk=333)
     d2b, idxb = knn(src, q, 5)
     np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), rtol=1e-6)
+
+
+def test_knn_zero_queries(rng):
+    """Empty query sets return empty [0, k] arrays, not IndexError."""
+    from multimesh_tpu.search.knn import knn, approx_knn
+
+    src = rng.random((64, 3))
+    d2, idx = knn(src, np.zeros((0, 3)), k=8)
+    assert d2.shape == (0, 8) and idx.shape == (0, 8)
+    perm = rng.permutation(64)
+    d2, idx = approx_knn(src[perm], perm, np.zeros((0, 3)), k=8)
+    assert d2.shape == (0, 8) and idx.shape == (0, 8)

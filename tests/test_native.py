@@ -84,3 +84,18 @@ def test_native_locate_fallbacks(rng):
                                         fallback="snap")
     assert failed == 0 and (el >= 0).all()
     assert np.max(np.abs(refs)) <= 1.02 + 1e-12
+
+
+def test_native_order_validation():
+    """Orders beyond the C runtime's fixed stack storage are rejected
+    loudly in the bindings, never reaching the kernels."""
+    import pytest
+
+    from multimesh_tpu.native import bindings
+
+    if not bindings.available():
+        pytest.skip("native runtime not built")
+    with pytest.raises(ValueError, match="order"):
+        bindings.gll_basis(9, np.zeros((4, 3)))
+    with pytest.raises(ValueError, match="order"):
+        bindings.inverse_map(np.zeros((1, 8, 3)), np.zeros((1, 3)), 0)

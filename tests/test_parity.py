@@ -77,3 +77,28 @@ def test_create_dataset(tmp_path):
     assert set(ds1.coords) == {"radius", "colatitude", "longitude"}
     with pytest.raises(ValueError):
         create_dataset(str(path), coords="cylindrical")
+
+
+def test_create_dataset_fast_mode_mesh_and_layer_membership(tmp_path):
+    """A fast_mode SalvusMesh object (lazy, empty raw field dict) must
+    still yield a populated dataset; an in-range layer id that is absent
+    from the mesh must be rejected by membership, not range."""
+    from multimesh_tpu.io import SalvusMesh
+    from multimesh_tpu.ops.layers import resolve_layers
+
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=4, order=2, n_layers=2)
+    path = tmp_path / "m.h5"
+    mmt.write_salvus_fixture(path, mesh, parameters=("VP",))
+
+    m = SalvusMesh(path)  # fast_mode=True by default
+    ds = create_dataset(m, layers="all", coords="cartesian")
+    assert set(ds.data) == {"VP"}
+    assert ds["VP"].shape == (mesh.nelem, 27)
+    assert ds.gll_order == 2
+
+    # non-contiguous layer ids: 4 is inside [min, max] but not present
+    layer_field = np.array([7, 5, 3, 3, 5, 7])
+    ids, _ = resolve_layers(layer_field, [5])
+    assert ids.tolist() == [5]
+    with pytest.raises(ValueError, match="not all in mesh"):
+        resolve_layers(layer_field, [4])
