@@ -58,10 +58,8 @@ def gll_nodes(order: int) -> tuple[np.ndarray, np.ndarray]:
             p1 = x.copy()
             for k in range(2, p + 1):
                 p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
-            # derivative: P'_p = p (x P_p - P_{p-1}) / (x^2 - 1)
             interior = slice(1, -1)
             xi = x[interior]
-            dp = p * (xi * p1[interior] - p0[interior]) / (xi * xi - 1.0)
             # f = (1-x^2) P'_p = p (P_{p-1} - x P_p); f' = -p(p+1) P_p
             f = p * (p0[interior] - xi * p1[interior])
             df = -p * (p + 1) * p1[interior]
@@ -74,8 +72,7 @@ def gll_nodes(order: int) -> tuple[np.ndarray, np.ndarray]:
     p1 = x.copy()
     for k in range(2, p + 1):
         p0, p1 = p1, ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
-    legendre_p = p1 if p >= 1 else p0
-    w = 2.0 / (p * (p + 1) * legendre_p**2)
+    w = 2.0 / (p * (p + 1) * p1**2)  # p >= 1 is enforced, so P_p = p1
     return x, w
 
 

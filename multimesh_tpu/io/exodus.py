@@ -159,16 +159,19 @@ class Exodus:
         if self.mode != "a":
             raise PermissionError("attach_field requires mode='a'")
         values = np.asarray(values, dtype=np.float64)
-        if values.size == self.npoint:
-            if name not in self.nodal_parameters:
-                self._declare_variable(name, nodal=True)
-            idx = self.nodal_parameters.index(name) + 1
-            var = f"vals_nod_var{idx}"
-        elif values.size == self.nelem:
+        # elemental checked FIRST: the reference wrapper dispatches
+        # nelem before npoint (reference io/exodus.py:66-97), which
+        # decides the ambiguous npoint == nelem case
+        if values.size == self.nelem:
             if name not in self.elem_var_names:
                 self._declare_variable(name, nodal=False)
             idx = self.elem_var_names.index(name) + 1
             var = f"vals_elem_var{idx}eb1"
+        elif values.size == self.npoint:
+            if name not in self.nodal_parameters:
+                self._declare_variable(name, nodal=True)
+            idx = self.nodal_parameters.index(name) + 1
+            var = f"vals_nod_var{idx}"
         else:
             raise ValueError(
                 "value count matches neither nodes nor elements"

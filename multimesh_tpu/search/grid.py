@@ -214,6 +214,9 @@ def grid_knn(
     """k nearest binned sources per query via the two-level search."""
     queries = jnp.asarray(queries)
     N = queries.shape[0]
+    if N == 0:  # match knn()/approx_knn(): empty in, empty out
+        return (jnp.zeros((0, k), jnp.float32),
+                jnp.zeros((0, k), jnp.int32))
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]

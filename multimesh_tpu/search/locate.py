@@ -192,12 +192,14 @@ def _mesh_prep(elem_nodes, order: int, d: int, engine: str,
 
 
 def default_engine() -> str:
-    """pallas on real accelerators, xla on CPU hosts."""
+    """pallas on TPU-family platforms, xla on CPU hosts and GPUs (the
+    Mosaic kernel uses TPU-only VMEM block specs and cannot lower on a
+    CUDA/ROCm backend)."""
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return "xla" if platform == "cpu" else "pallas"
+    return "xla" if platform in ("cpu", "gpu", "cuda", "rocm") else "pallas"
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +343,16 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
             blo, bhi = aabb
             blo32 = blo.astype(jnp.float32)[ids]
             bhi32 = bhi.astype(jnp.float32)[ids]
-            # f32-appropriate slack (face points must not be excluded by
-            # rounding; accept_tol has far more slack than this anyway)
-            eps = 1e-6 * (bhi32 - blo32)
+            # f32-appropriate slack: span-relative alone is NOT enough
+            # for Earth-scale coordinates (a 6.4e6 m coordinate rounds
+            # by ~0.4 m in f32, but 1e-6 of a 1 km element span is only
+            # 1 mm), so add a few ulps of the coordinate magnitude --
+            # face points must never be excluded by rounding
+            # (accept_tol has far more slack than this anyway)
+            eps = (
+                1e-6 * (bhi32 - blo32)
+                + 4e-7 * jnp.maximum(jnp.abs(blo32), jnp.abs(bhi32))
+            )
             inside = jnp.all(
                 (hi_rows >= blo32 - eps) & (hi_rows <= bhi32 + eps),
                 axis=-1,
@@ -815,6 +824,16 @@ def locate(
     # _mesh_prep hashes + preps host arrays host-side, and the ladder
     # path never needs the raw f64 lattice on device at all
     N, d = points.shape
+    if N == 0:
+        # empty query sets happen (a layer with no target points); match
+        # the kNN entry points and return empty results, not IndexError
+        n_w = (order + 1) ** d if want_weights else 0
+        return LocateResult(
+            elements=jnp.zeros((0,), jnp.int32),
+            refs=jnp.zeros((0, d), jnp.float32),
+            weights=jnp.zeros((0, n_w), jnp.float32),
+            found=jnp.zeros((0,), bool),
+        )
     if engine == "auto":
         engine = default_engine()
     interpret = False
@@ -914,12 +933,14 @@ def locate(
             grid_data = (gi.bin_reps32, gi.center, gi.bin_elems,
                          gi.bin_coords6)
 
-    # the scan path gathers from the raw lattice (xla engine): convert
-    # once here, not per chunk -- a numpy input would otherwise re-upload
-    # the full f64 lattice on every chunk (and again on retries).  The
-    # ladder/pallas path never needs it on device at all, so it gets a
-    # tiny placeholder there.
-    if use_ladder and engine == "pallas":
+    # the scan path gathers from the raw lattice only on the XLA engine:
+    # convert once here, not per chunk -- a numpy input would otherwise
+    # re-upload the full f64 lattice on every chunk (and again on
+    # retries).  The pallas engine (ladder OR scan -- e.g. the layered
+    # fixed_ref paths force the scan strategy) inverts from the centered
+    # split-f32 lattice and never reads elem_nodes on device, so it gets
+    # a tiny placeholder instead of a GB-scale dead upload.
+    if engine == "pallas":
         elem_nodes_dev = jnp.zeros((1, 1, d), jnp.float32)
     else:
         elem_nodes_dev = jnp.asarray(elem_nodes)

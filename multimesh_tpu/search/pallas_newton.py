@@ -282,32 +282,3 @@ def newton_refs(
         interpret=interpret,
     )(nodes_t, points_t)
     return refs, res[0]
-
-
-def pack_points(points_c: np.ndarray | jnp.ndarray):
-    """[C, dim] -> ([dim, R, 128] f32, C) with C padded to BLOCK."""
-    points_c = jnp.asarray(points_c)
-    C, dim = points_c.shape
-    Cp = int(np.ceil(C / BLOCK) * BLOCK)
-    if Cp != C:
-        points_c = jnp.concatenate(
-            [points_c, jnp.zeros((Cp - C, dim), points_c.dtype)]
-        )
-    t = jnp.transpose(points_c, (1, 0)).astype(jnp.float32)
-    return t.reshape(dim, Cp // _LANES, _LANES), C
-
-
-def pack_nodes(nodes_c):
-    """[C, n_nodes, dim] -> [n_nodes, dim, R, 128] f32 (C pre-padded)."""
-    nodes_c = jnp.asarray(nodes_c)
-    C, n_nodes, dim = nodes_c.shape
-    t = jnp.transpose(nodes_c, (1, 2, 0)).astype(jnp.float32)
-    return t.reshape(n_nodes, dim, C // _LANES, _LANES)
-
-
-def unpack(arr_t, C: int):
-    """[dim, R, 128] -> [C, dim] (or [R, 128] -> [C])."""
-    if arr_t.ndim == 3:
-        dim = arr_t.shape[0]
-        return jnp.transpose(arr_t.reshape(dim, -1), (1, 0))[:C]
-    return arr_t.reshape(-1)[:C]

@@ -111,11 +111,18 @@ def box_mesh(
         spans = np.array([hi - lo for lo, hi in extent])
         lo = np.array([lo for lo, hi in extent])
         u = (points - lo) / spans  # in [0,1]^d
-        bump = np.sin(np.pi * u) * warp
+        bump = np.sin(np.pi * u)  # vanishes on every face
         disp = np.zeros_like(points)
         for d in range(dim):
+            # the extra bump[..., d] factor keeps the displacement zero
+            # wherever u_d is 0 or 1, so the warped mesh still covers
+            # exactly the nominal box (a face-normal displacement would
+            # push boundary faces inward and make points near the
+            # nominal extent spuriously exterior)
             disp[..., d] = (
                 spans[d]
+                * warp**2
+                * bump[..., d]
                 * bump[..., (d + 1) % dim]
                 * bump[..., (d + 2) % dim if dim == 3 else (d + 1) % dim]
                 * 0.5

@@ -301,3 +301,30 @@ def test_locate_ladder_exterior_heavy_sentinel(rng):
     np.testing.assert_allclose(
         _interp(lad, field), _interp(scan, field), rtol=5e-5
     )
+
+
+def test_locate_zero_points():
+    """Empty query sets return an empty LocateResult, not IndexError
+    (a layer with no target points is a legitimate input)."""
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
+    res = locate(np.zeros((0, 3)), mesh.points, order=1)
+    assert res.elements.shape == (0,)
+    assert res.refs.shape == (0, 3)
+    assert res.weights.shape == (0, 8)
+    assert res.found.shape == (0,)
+
+
+def test_box_mesh_warp_covers_nominal_extent(rng):
+    """The warp displacement vanishes on every boundary face, so points
+    anywhere in the nominal box are locatable (no spurious exterior
+    band near the low faces)."""
+    mesh = mmt.box_mesh(shape=(5, 5, 5), order=2, warp=0.15)
+    pts = rng.uniform(0.002, 0.998, size=(600, 3))
+    # include points hugging each face center, the old worst case
+    extra = np.full((6, 3), 0.5)
+    for d in range(3):
+        extra[2 * d, d] = 0.002
+        extra[2 * d + 1, d] = 0.998
+    pts = np.concatenate([pts, extra])
+    res = locate(pts, mesh.points, order=2, fallback="sentinel")
+    assert np.asarray(res.found).all()
