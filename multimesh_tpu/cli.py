@@ -61,7 +61,12 @@ def interpolate_mesh_a_to_b(mesh_a, mesh_b, params):
     from .engine import exodus_2_exodus
 
     start = time.time()
-    params = params.split(",") if "," in params else params
+    # strip whitespace and empty entries ("VP, VS" / trailing comma)
+    params = (
+        [q.strip() for q in params.split(",") if q.strip()]
+        if "," in params
+        else params.strip()
+    )
     exodus_2_exodus(mesh_a=mesh_a, mesh_b=mesh_b, parameters=params)
     _report(start)
 
@@ -80,7 +85,12 @@ def interpolate_mesh_to_gll(mesh, gll_model, gll_order, params):
     from .engine import exodus_2_gll
 
     start = time.time()
-    params = params.split(",") if "," in params else params
+    # strip whitespace and empty entries ("VP, VS" / trailing comma)
+    params = (
+        [q.strip() for q in params.split(",") if q.strip()]
+        if "," in params
+        else params.strip()
+    )
     exodus_2_gll(
         mesh=mesh, gll_model=gll_model, gll_order=gll_order,
         parameters=params,

@@ -14,6 +14,12 @@ import enum
 
 R_EARTH_M = 6_371_000.0  # reference multi_mesh/utils.py:534
 
+# Default trilinear-prefilter width for the device engine: the prefilter
+# ranks candidates with a cheap order-1 Newton and keeps the best
+# PREFILTER_M for the full-order solve (shared by every engine path;
+# retune it here, not at call sites).
+PREFILTER_M = 4
+
 
 class Precision(enum.Enum):
     """Numerical policy for the device pipeline.

@@ -24,7 +24,7 @@ import h5py
 import numpy as np
 
 from . import utils
-from .config import LocateConfig, DEFAULT_LOCATE, Precision
+from .config import LocateConfig, DEFAULT_LOCATE, Precision, PREFILTER_M
 from .io import exodus as eio
 from .io import salvus as sio
 from .ops import (
@@ -38,10 +38,6 @@ from .ops import (
 )
 
 PathLike = Union[str, pathlib.Path]
-
-# Default fast-path knobs for the device engine: trilinear prefilter keeps
-# the 4 best candidates for full-order Newton.
-PREFILTER_M = 4
 
 
 def _locate_cfg(nelem_to_search: int, accept_tol: float) -> LocateConfig:

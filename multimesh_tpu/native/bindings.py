@@ -27,7 +27,14 @@ _U8_1 = np.ctypeslib.ndpointer(np.uint8, ndim=1, flags="C_CONTIGUOUS")
 
 def _lib_path() -> pathlib.Path | None:
     env = os.environ.get("MMT_NATIVE_LIB")
-    if env and os.path.exists(env):
+    if env:
+        if not os.path.exists(env):
+            # an explicitly requested library must not silently fall
+            # back to the repo default (the user would validate against
+            # the wrong binary)
+            raise FileNotFoundError(
+                f"MMT_NATIVE_LIB={env!r} does not exist"
+            )
         return pathlib.Path(env)
     root = pathlib.Path(__file__).resolve().parents[2]
     cand = root / "native" / "libmmt_native.so"
@@ -117,6 +124,17 @@ def inverse_map(
     nodes = np.ascontiguousarray(elem_nodes, np.float64)
     pts = np.ascontiguousarray(points, np.float64)
     n, dim = pts.shape
+    # the C kernels index without bounds checks: mismatched shapes must
+    # fail loudly here, not as OOB reads
+    if nodes.shape[0] != n:
+        raise ValueError(
+            f"elem_nodes has {nodes.shape[0]} rows for {n} points"
+        )
+    if nodes.shape[1] != (order + 1) ** dim:
+        raise ValueError(
+            f"elem_nodes has {nodes.shape[1]} nodes/element, expected "
+            f"{(order + 1) ** dim} for order {order} in {dim}D"
+        )
     refs = np.empty((n, dim))
     conv = np.empty(n, np.uint8)
     lib.mmt_inverse_map(n, order, dim, nodes, pts, max_iter, rtol, refs,
@@ -147,6 +165,21 @@ def locate(
     nodes = np.ascontiguousarray(all_nodes, np.float64)
     n, dim = pts.shape
     nn = (order + 1) ** dim
+    # the C kernel indexes all_nodes by candidate id without bounds
+    # checks: validate here so bad inputs raise instead of reading OOB
+    if nodes.shape[1] != nn:
+        raise ValueError(
+            f"all_nodes has {nodes.shape[1]} nodes/element, expected "
+            f"{nn} for order {order} in {dim}D"
+        )
+    if cand.shape[0] != n:
+        raise ValueError(
+            f"candidates has {cand.shape[0]} rows for {n} points"
+        )
+    if cand.size and (cand.min() < 0 or cand.max() >= nodes.shape[0]):
+        raise ValueError(
+            f"candidate ids outside [0, {nodes.shape[0]})"
+        )
     elements = np.empty(n, np.int64)
     refs = np.empty((n, dim))
     weights = np.empty((n, nn))

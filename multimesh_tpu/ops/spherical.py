@@ -29,9 +29,25 @@ def _nodal_radius_fraction(mesh) -> np.ndarray:
 def map_to_sphere(mesh) -> None:
     """Rescale mesh.points in place so every node sits at
     r_earth * z_node_1D.  Nodes at the exact center are left alone
-    (r == 0 guard, as in the reference interpolator.py:1142-1144)."""
-    rad_frac = _nodal_radius_fraction(mesh)
-    pts = mesh.points  # [nelem, n_gll, dim]
+    (r == 0 guard, as in the reference interpolator.py:1142-1144).
+
+    Handles both mesh layouts the reference does
+    (interpolator.py:1125-1137): element-nodal points
+    [nelem, n_gll, dim], or a flat vertex list [npoints, dim] plus
+    ``connectivity`` (UnstructuredMesh-like), where the element-nodal
+    z_node_1D field is folded to one value per vertex via the first
+    occurrence of each node id in the connectivity."""
+    rad_frac = np.asarray(_nodal_radius_fraction(mesh))
+    pts = mesh.points
+    if pts.ndim == 2 and rad_frac.shape != pts.shape[:-1]:
+        conn = getattr(mesh, "connectivity", None)
+        if conn is None:
+            raise ValueError(
+                "flat-point mesh needs a connectivity to fold the "
+                "element-nodal z_node_1D field onto vertices"
+            )
+        _, first = np.unique(np.asarray(conn).ravel(), return_index=True)
+        rad_frac = rad_frac.reshape(-1)[first]
     r = np.linalg.norm(pts, axis=-1)
     scale = np.ones_like(r)
     nz = r > 0
@@ -50,7 +66,10 @@ def map_to_ellipse(base_mesh, mesh, cfg: LocateConfig = DEFAULT_LOCATE):
     """
     from .transfer import TransferOperator
 
+    from ..config import PREFILTER_M
+
     base_pts_orig = base_mesh.points.copy()
+    tgt_pts_orig = mesh.points.copy()
     try:
         base_r = np.linalg.norm(base_mesh.points, axis=-1)
         rad_frac = _nodal_radius_fraction(base_mesh)
@@ -65,9 +84,14 @@ def map_to_ellipse(base_mesh, mesh, cfg: LocateConfig = DEFAULT_LOCATE):
         tgt = mesh.points.reshape(-1, mesh.points.shape[-1])
         op = TransferOperator.build(
             base_mesh.points, tgt, order=base_mesh.shape_order, cfg=cfg,
-            fallback="snap", prefilter_m=4,
+            fallback="snap", prefilter_m=PREFILTER_M,
         )
         point_ratio = op.apply(ratio).reshape(mesh.points.shape[:2])
         mesh.points *= point_ratio[..., None]
+    except BaseException:
+        # never leave the caller's mesh silently sphere-mapped when the
+        # transfer itself fails (device OOM, TPU tunnel down, ...)
+        mesh.points[...] = tgt_pts_orig
+        raise
     finally:
         base_mesh.points[...] = base_pts_orig

@@ -99,12 +99,14 @@ def trace(log_dir: str | None = None):
     """Capture a jax.profiler trace (TensorBoard/Perfetto format) for the
     enclosed block.  No-op when log_dir is None and MMT_TRACE_DIR is
     unset, so call sites can leave the context in place permanently."""
-    import jax
-
     log_dir = log_dir or os.environ.get("MMT_TRACE_DIR")
     if not log_dir:
+        # genuinely free when disabled: even importing jax costs seconds
+        # on a throttled host
         yield
         return
+    import jax
+
     jax.profiler.start_trace(log_dir)
     try:
         yield

@@ -42,10 +42,18 @@ _LOCAL = {"roma": roma, "roma_r": roma_r}
 def get_colormap(cmap, reverse: bool = False):
     """Resolve a colormap name like the reference does: cmasher first,
     then cmcrameri, then matplotlib, plus the locally synthesized maps
-    (reference plotter.py:190-209).  Non-string inputs pass through."""
+    (reference plotter.py:190-209).  A ready Colormap object passes
+    through (reversed when asked)."""
     if not isinstance(cmap, str):
+        if reverse and hasattr(cmap, "reversed"):
+            return cmap.reversed()
         return cmap
-    name = cmap + "_r" if reverse else cmap
+    if reverse:
+        # requesting the reverse of an already-reversed name ("roma_r")
+        # strips the suffix instead of stacking "_r_r"
+        name = cmap[:-2] if cmap.endswith("_r") else cmap + "_r"
+    else:
+        name = cmap
     try:  # pragma: no cover - not in CI image
         import cmasher as cmr
 

@@ -99,3 +99,19 @@ def test_native_order_validation():
         bindings.gll_basis(9, np.zeros((4, 3)))
     with pytest.raises(ValueError, match="order"):
         bindings.inverse_map(np.zeros((1, 8, 3)), np.zeros((1, 3)), 0)
+
+
+def test_native_locate_rejects_bad_candidates():
+    """Out-of-range candidate ids raise instead of reading OOB."""
+    import pytest
+
+    from multimesh_tpu.native import bindings
+    from multimesh_tpu import testing as mmt
+
+    if not bindings.available():
+        pytest.skip("native runtime not built")
+    mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
+    pts = np.full((3, 3), 0.5)
+    cand = np.array([[0], [1], [99]])  # 99 >= nelem
+    with pytest.raises(ValueError, match="candidate ids"):
+        bindings.locate(pts, cand, mesh.points, order=1)

@@ -217,3 +217,29 @@ def test_repair_fluid_solid():
     # VSV naming also recognized
     out2 = repair_fluid_solid(new, old, solid, ["VPV", "VSV", "RHO"])
     np.testing.assert_allclose(out2[1], old[1])
+
+
+def test_map_to_sphere_flat_vertex_mesh():
+    """The reference maps UnstructuredMesh-like meshes too (flat vertex
+    list + connectivity, element-nodal z_node_1D folded per vertex)."""
+    from multimesh_tpu.config import R_EARTH_M
+    from multimesh_tpu.ops import map_to_sphere
+    from multimesh_tpu import testing as mmt
+
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=1)
+
+    class Flat:
+        pass
+
+    flat = Flat()
+    flat.points = mesh.vertices.copy()
+    flat.connectivity = mesh.connectivity
+    r_elem = np.linalg.norm(mesh.points, axis=-1)
+    # a z_node_1D that differs from the current radii: scale by 0.9
+    flat.element_nodal_fields = {
+        "z_node_1D": 0.9 * r_elem / R_EARTH_M
+    }
+    map_to_sphere(flat)
+    got_r = np.linalg.norm(flat.points, axis=-1)
+    want_r = 0.9 * np.linalg.norm(mesh.vertices, axis=-1)
+    np.testing.assert_allclose(got_r, want_r, rtol=1e-12)

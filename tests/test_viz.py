@@ -221,3 +221,14 @@ def test_plot_depth_slice_projection_object(global_mesh, tmp_path,
         figname=str(tmp_path / "obj.png"),
     )
     assert fig.axes[0].projection is proj
+
+
+def test_get_colormap_reverse_objects_and_reversed_names():
+    """reverse=True applies to ready Colormap objects and un-stacks an
+    already-reversed name instead of building 'roma_r_r'."""
+    from multimesh_tpu.viz.colormaps import roma, roma_r
+
+    rev = get_colormap(roma, reverse=True)
+    np.testing.assert_allclose(rev(0.0), roma(1.0), atol=1e-6)
+    assert get_colormap("roma_r", reverse=True) is roma
+    assert get_colormap("roma_r") is roma_r
