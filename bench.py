@@ -504,6 +504,12 @@ def main():
     if note is not None:
         result["platform"] = "cpu-fallback"
         result["note"] = note
+        # context for the record: the most recent real-chip measurement
+        # of the headline config (BENCH_r02.json, one TPU v5e chip)
+        result["last_tpu_measurement"] = {
+            "value": 2.6593, "unit": "M points/s/chip",
+            "n_points": 10_000_000, "round": 2,
+        }
     print(json.dumps(result))
 
 
