@@ -45,6 +45,13 @@ def test_cli_mesh_a_to_b(exodus_pair):
     truth = mmt.smooth_field(b.vertices, "linear")
     np.testing.assert_allclose(out.get_nodal_field("VPV"), truth,
                                atol=1e-9)
+    # a non-unit-scale parameter too, so per-parameter routing is real
+    # (fixture scales are 1 + 0.05*i over the TTI list)
+    names = out.nodal_parameters
+    i_vsv = names.index("VSV")
+    np.testing.assert_allclose(
+        out.get_nodal_field("VSV"), truth * (1 + 0.05 * i_vsv), atol=1e-9
+    )
 
 
 def test_cli_mesh_to_gll_and_back(tmp_path, exodus_pair):

@@ -54,6 +54,9 @@ def test_knn_query_chunking(rng):
     d2a, idxa = knn(src, q, 5, query_chunk=333)
     d2b, idxb = knn(src, q, 5)
     np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), rtol=1e-6)
+    # index reassembly too, not just distances (random f64 coords make
+    # exact ties across chunk boundaries impossible)
+    np.testing.assert_array_equal(np.asarray(idxa), np.asarray(idxb))
 
 
 def test_knn_zero_queries(rng):

@@ -7,7 +7,7 @@ from multimesh_tpu import testing as mmt
 from multimesh_tpu.config import LocateConfig
 from multimesh_tpu.search import locate
 
-from oracle import interpolate_np
+from oracle import interpolate_np, locate_np
 
 
 def _interp(res, field):
@@ -107,9 +107,16 @@ def test_locate_exterior_sentinel_and_snap(rng):
     assert (snap.elements >= 0).all()
     # snapped refs are clipped to +/- snap_clip
     assert np.max(np.abs(snap.refs)) <= 1.02 + 1e-12
-    # snapped values stay within a sane range of the field
+    # element choice and values match the oracle's best-so-far snap
+    # semantics (oracle.locate_np with snap=True implements the
+    # reference's snap_to_nearest, interpolator.py:1217-1230)
+    o_elems, o_refs, o_weights = locate_np(
+        outside, mesh.points, order=2, snap=True
+    )
+    assert (o_elems >= 0).all()
     vals = _interp(snap, field)
-    assert np.all(vals > 0.5) and np.all(vals < 5.0)
+    o_vals = np.einsum("pn,pn->p", o_weights, field[o_elems])
+    np.testing.assert_allclose(vals, o_vals, rtol=1e-5)
 
 
 def test_locate_fixed_ref_always_assigns(rng):

@@ -84,6 +84,12 @@ def test_native_locate_fallbacks(rng):
                                         fallback="snap")
     assert failed == 0 and (el >= 0).all()
     assert np.max(np.abs(refs)) <= 1.02 + 1e-12
+    # element choice follows the best-|ref| semantics, not candidate 0
+    from oracle import locate_np
+
+    o_el, o_refs, _ = locate_np(pts, mesh.points, order=1, snap=True)
+    np.testing.assert_array_equal(el, o_el)
+    np.testing.assert_allclose(refs, o_refs, atol=1e-9)
 
 
 def test_native_order_validation():

@@ -193,10 +193,17 @@ def test_map_to_sphere():
         }
 
     m = M()
+    before = m.points.copy()
     map_to_sphere(m)
     r_after = np.linalg.norm(m.points, axis=-1)
     np.testing.assert_allclose(
         r_after, np.linalg.norm(mesh.points, axis=-1), rtol=1e-12
+    )
+    # radial rescale only: directions unchanged
+    np.testing.assert_allclose(
+        m.points / r_after[..., None],
+        before / np.linalg.norm(before, axis=-1)[..., None],
+        rtol=1e-12,
     )
 
 
@@ -239,7 +246,13 @@ def test_map_to_sphere_flat_vertex_mesh():
     flat.element_nodal_fields = {
         "z_node_1D": 0.9 * r_elem / R_EARTH_M
     }
+    before = flat.points.copy()
     map_to_sphere(flat)
     got_r = np.linalg.norm(flat.points, axis=-1)
     want_r = 0.9 * np.linalg.norm(mesh.vertices, axis=-1)
     np.testing.assert_allclose(got_r, want_r, rtol=1e-12)
+    np.testing.assert_allclose(  # directions unchanged
+        flat.points / got_r[..., None],
+        before / np.linalg.norm(before, axis=-1)[..., None],
+        rtol=1e-12,
+    )

@@ -53,10 +53,18 @@ def test_get_element_weights_layered_contract(tmp_path, rng):
     elems, coeffs = get_element_weights_layered(
         uniq, nearest, sm, masks, from_gll_order=2
     )
+    field = sm.get_element_nodal_fields()["VP"]
     for layer in masks:
         assert elems[layer].shape[0] == uniq[layer][0].shape[0]
         assert coeffs[layer].shape[1] == 27
         assert (elems[layer] >= 0).all()
+        # the weights must actually interpolate the field, not merely
+        # have the right shape (elems index into the LAYER's elements)
+        vals = np.einsum(
+            "pn,pn->p", coeffs[layer], field[masks[layer]][elems[layer]]
+        )
+        truth = mmt.smooth_field(uniq[layer][0])
+        np.testing.assert_allclose(vals, truth, atol=2e-2)
 
 
 def test_create_dataset(tmp_path):

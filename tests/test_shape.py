@@ -91,8 +91,9 @@ def test_inverse_outside_points_report_ref_gt_one(rng):
     got = np.asarray(ref_rec)
     assert np.all(np.max(np.abs(got), axis=-1) > 1.05)
     # affine map: even exterior points converge and are recovered exactly
-    np.testing.assert_allclose(got[np.asarray(conv)], refs[np.asarray(conv)],
-                               atol=1e-7)
+    # (conv.all() keeps the recovery check from passing vacuously)
+    assert np.asarray(conv).all()
+    np.testing.assert_allclose(got, refs, atol=1e-7)
 
 
 def test_trilinear_matches_reference_formulas(rng):
