@@ -162,3 +162,30 @@ def test_source_sharded_fallback_modes(fallback, rng):
         vals[:40, 0], mmt.smooth_field(np.clip(pts[:40], 0, 1)),
         atol=0.05,
     )
+
+
+def test_sharded_2d_both_schemes(rng):
+    """Both sharded schemes are dimension-generic: 2D quad meshes run
+    through the same programs and match the single-device result."""
+    from multimesh_tpu.dist import source_sharded_transfer
+    from multimesh_tpu.search import locate
+
+    src = mmt.box_mesh(shape=(6, 6), order=2, warp=0.05)
+    field = mmt.element_nodal_field(src, "smooth")
+    pts = rng.uniform(0.03, 0.97, (300, 2))
+    cfg = LocateConfig(nelem_to_search=8, newton_iters=10,
+                       polish_iters=2)
+
+    res = locate(pts, src.points, order=2, fallback="snap", cfg=cfg)
+    v1 = np.einsum("pn,pn->p", np.asarray(res.weights),
+                   field[np.asarray(res.elements)])
+    v8 = np.asarray(sharded_transfer(
+        pts, src.points, field[None], order=2, cfg=cfg, fallback="snap",
+        mesh=make_mesh(),
+    ))[:, 0]
+    np.testing.assert_allclose(v8, v1, rtol=1e-9)
+    v8s = np.asarray(source_sharded_transfer(
+        pts, src.points, field[None], order=2, cfg=cfg,
+        mesh=make_mesh(),
+    ))[:, 0]
+    np.testing.assert_allclose(v8s, v1, rtol=1e-9)
