@@ -159,12 +159,18 @@ def bench_gll_100m():
     fields = np.stack([base * (1 + 0.1 * i) for i in range(len(params))])
     fields_dev = jnp.asarray(fields)
 
+    # Points are generated on device in FIXED-SHAPE chunks: every compile
+    # on this rig goes through a slow remote-compile helper (~20-60 s per
+    # kernel, persistent cache not honored), so a single (n_points,)-shaped
+    # generator would pay a fresh multi-minute compile per BENCH_N value.
+    GEN = 1 << 24
+
     @jax.jit
-    def make_points(key):
+    def make_chunk(key):
         k1, k2, k3 = jax.random.split(key, 3)
-        r = jax.random.uniform(k1, (n_points,), jnp.float32, 3.6e6, 6.3e6)
-        th = jax.random.uniform(k2, (n_points,), jnp.float32, 0.55, 1.15)
-        ph = jax.random.uniform(k3, (n_points,), jnp.float32, 0.35, 1.35)
+        r = jax.random.uniform(k1, (GEN,), jnp.float32, 3.6e6, 6.3e6)
+        th = jax.random.uniform(k2, (GEN,), jnp.float32, 0.55, 1.15)
+        ph = jax.random.uniform(k3, (GEN,), jnp.float32, 0.35, 1.35)
         # f32 point coordinates: eager ops on [1e8, 3] f64 arrays trip
         # padded-layout copies (f64 tiling pads the minor dim 3 -> 128, a
         # 102 GB copy); f32 behaves, and the accuracy bookkeeping is
@@ -174,7 +180,10 @@ def bench_gll_100m():
             [r * jnp.sin(th) * jnp.cos(ph), r * jnp.sin(th) * jnp.sin(ph),
              r * jnp.cos(th)], -1)
 
-    pts_dev = make_points(jax.random.PRNGKey(0))
+    keys = jax.random.split(
+        jax.random.PRNGKey(0), (n_points + GEN - 1) // GEN
+    )
+    pts_dev = jnp.concatenate([make_chunk(k) for k in keys])[:n_points]
     float(jnp.sum(pts_dev[:1]))
 
     cfg = LocateConfig(nelem_to_search=20, precision=Precision.MIXED)
@@ -192,13 +201,25 @@ def bench_gll_100m():
     op, vals = run()
     dt = time.time() - t0
 
+    # NOTE: pts/vals are ARGUMENTS, not closure captures -- a captured
+    # device array is baked into the compiled program as a literal
+    # constant, and the remote-compile request then scales with N (the
+    # serialized HLO hit the helper's HTTP body limit at 30M points).
     @jax.jit
-    def rel_err(v):
+    def rel_err_chunk(v, p):
         # analytic field at the query coordinates, on device
-        truth = mmt.smooth_field_jnp(pts_dev)
+        truth = mmt.smooth_field_jnp(p)
         return jnp.max(jnp.abs(v[:, 0] - truth) / jnp.abs(truth))
 
-    err = float(rel_err(vals))
+    # full-GEN slices only (the last one overlaps backwards): one compile
+    # shape regardless of n_points, and overlap is harmless under max()
+    starts = list(range(0, max(n_points - GEN, 0) + 1, GEN))
+    if starts[-1] != n_points - GEN and n_points > GEN:
+        starts.append(n_points - GEN)
+    err = max(
+        float(rel_err_chunk(vals[s:s + GEN], pts_dev[s:s + GEN]))
+        for s in starts
+    )
     rate = n_points / dt / 1e6
     return {
         "metric": (
