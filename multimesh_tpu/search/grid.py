@@ -411,14 +411,31 @@ def knn_any(sources, queries, k: int, exact: bool = True,
     neighbor sets.
     """
     E = sources.shape[0]
+    # Under jax.jit `sources` is a tracer: no concrete bytes exist, so
+    # the content-fingerprint caches and the host-built grid index are
+    # unavailable.  Dispatch to tracer-safe routes instead (the random
+    # permutation only needs the STATIC length E, so the approx path
+    # stays available; the grid path degrades to full-width approx_max_k,
+    # correct but O(N*E) -- callers wanting the scalable path should call
+    # outside jit, where the index is cached by content anyway).
+    tracing = isinstance(sources, jax.core.Tracer)
     if approx:
-        if E > APPROX_GRID_MIN_SOURCES:
+        if E > APPROX_GRID_MIN_SOURCES and not tracing:
             return grid_knn(get_grid_index(sources), queries, k,
                             approx=True, **kw)
         kw.pop("n_probe", None)  # grid-path knob, meaningless below
         if E > 256:
+            if tracing:
+                perm_np = np.random.default_rng(0xC0FFEE).permutation(E)
+                perm = jnp.asarray(perm_np.astype(np.int32))
+                return _approx_knn(jnp.asarray(sources)[perm], perm,
+                                   queries, k, **kw)
             perm, src_perm = _cached_random_perm(sources)
             return _approx_knn(src_perm, perm, queries, k, **kw)
+        return _exact_knn(sources, queries, k, exact=True)
+    if tracing:
+        # Exact matmul kNN is the only tracer-safe exact route (the
+        # spatial reorder and the grid index need host data).
         return _exact_knn(sources, queries, k, exact=True)
     if E <= EXACT_KNN_MAX_SOURCES:
         if exact:

@@ -57,6 +57,36 @@ def test_knn_any_dispatch(rng):
     np.testing.assert_allclose(d_mine, d_ref, rtol=1e-5, atol=1e-9)
 
 
+def test_knn_any_under_jit(rng):
+    """knn_any must be traceable: under jax.jit the sources are tracers,
+    so the content-fingerprint caches and host-built grid index are
+    unavailable -- the dispatcher has to fall back to tracer-safe routes
+    (regression: round 3 found approx=True crashing at trace time)."""
+    import jax
+
+    q = rng.uniform(0.1, 0.9, size=(64, 3))
+    for n_src, kw, strict in [
+        (200, dict(approx=True), True),      # tiny: exact route
+        (2000, dict(approx=True), False),    # permuted approx route
+        (20000, dict(approx=True, n_probe=4), False),  # grid-sized, degraded
+        (2000, dict(exact=True), True),      # exact route
+        (2000, dict(exact=False), True),     # relaxed route -> exact
+    ]:
+        src = rng.uniform(0, 1, size=(n_src, 3))
+        f = jax.jit(lambda s, p, kw=kw: knn_any(s, p, 5, **kw))
+        d2, idx = f(src, q)
+        nn_ref = cKDTree(src).query(q, k=1)[1]
+        covered = (np.asarray(idx) == nn_ref[:, None]).any(axis=1)
+        if strict:
+            # exact routes must cover the true nearest neighbor
+            assert np.all(covered), kw
+        else:
+            # approx routes (TPU approx_max_k) trade recall for speed;
+            # the locate ladder's rescue rounds absorb the misses.  Just
+            # require the route to be usefully accurate.
+            assert covered.mean() >= 0.8, (kw, covered.mean())
+
+
 def test_locate_on_large_mesh_grid_path(rng):
     """End-to-end locate through the grid candidate path (E > threshold)."""
     from multimesh_tpu.search import locate
