@@ -101,6 +101,14 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas, want_lo=False):
         inv_scale = (1.0 / scales).astype(jnp.float32)
         out["centering"] = (ctr_hi, ctr_lo, inv_scale)
         out["nodes_c32"] = nodes_c32
+        # lane-padded row-major copy of the lattice: a plain row gather
+        # from this feeds pn.newton_refs_rows with no HBM transpose
+        E, n_nodes, _ = nodes_c32.shape
+        Fp = pn._rows_feature_pad(order, d)
+        out["nodes_flat32"] = jnp.concatenate(
+            [nodes_c32.reshape(E, n_nodes * d),
+             jnp.zeros((E, Fp - n_nodes * d), jnp.float32)], axis=1,
+        )
         out["corners_c32"] = corners_c32
         if want_lo:
             # split-f32 residuals: hi + lo reconstructs the f64 geometry
@@ -116,6 +124,7 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas, want_lo=False):
         z = jnp.zeros((1,), jnp.float32)
         out["centering"] = (z, z, z)
         out["nodes_c32"] = z
+        out["nodes_flat32"] = z
         out["corners_c32"] = z
     return out
 
@@ -141,6 +150,11 @@ def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas,
         nodes_c = (elem_nodes - centers[:, None, :]) / scales[:, None, None]
         nodes_c32 = nodes_c.astype(np.float32)
         out["nodes_c32"] = jnp.asarray(nodes_c32)
+        E, n_nodes, _ = nodes_c32.shape
+        Fp = pn._rows_feature_pad(order, d)
+        flat = np.zeros((E, Fp), np.float32)
+        flat[:, : n_nodes * d] = nodes_c32.reshape(E, n_nodes * d)
+        out["nodes_flat32"] = jnp.asarray(flat)
         out["corners_c32"] = jnp.asarray((
             (corners - centers[:, None, :]) / scales[:, None, None]
         ).astype(np.float32))
@@ -163,6 +177,7 @@ def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas,
         z = jnp.zeros((1,), jnp.float32)
         out["centering"] = (z, z, z)
         out["nodes_c32"] = z
+        out["nodes_flat32"] = z
         out["corners_c32"] = z
     return out
 
@@ -259,19 +274,24 @@ def _make_pallas_invert(points, nodes_c32, centering, order, cfg,
 # ---------------------------------------------------------------------------
 # Batched-rows pallas invert + the rescue-ladder locate (TPU fast path)
 # ---------------------------------------------------------------------------
-def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
-                        iters, clamp, interpret):
-    """One fused gather+transpose+Newton over arbitrary (point, element)
-    row pairs: p_hi/p_lo [M, d] split-f32 point coords, ids [M] int32 ->
+def _pallas_invert_rows(p_hi, p_lo, ids, nodes_flat32, centering, order,
+                        dim, iters, clamp, interpret):
+    """One fused gather+Newton over arbitrary (point, element) row pairs:
+    p_hi/p_lo [M, d] split-f32 point coords, ids [M] int32 ->
     (ref [M, d] f32, conv [M] bool, maxabs [M] f32).
 
     This is the ladder's workhorse: candidates are batched into the ROW
-    axis instead of scanned sequentially, so the ~6 ms fixed cost of a
-    gather+layout-transpose+kernel-launch step (measured v5e, 131k rows)
-    is amortized over all candidates of a round instead of paid K times.
-    M is padded to the pallas BLOCK internally.  Points arrive as the
-    split-f32 pair (computed once per chunk) so no f64 arithmetic --
-    emulated and slow on TPU -- appears in any per-round op.
+    axis instead of scanned sequentially, so the fixed cost of a
+    gather+kernel-launch step is amortized over all candidates of a round
+    instead of paid K times.  Node geometry arrives as the lane-padded
+    row-major table ``nodes_flat32`` [E, Fp] (see _mesh_prep): the row
+    gather it feeds is layout-clean (no [M, n, d] -> [n, d, M] HBM
+    transpose -- measured 2x the Newton kernel itself at 262k rows on
+    v5e), and the kernel transposes each block in VMEM instead
+    (pn.newton_refs_rows).  M is padded to the pallas BLOCK internally.
+    Points arrive as the split-f32 pair (computed once per chunk) so no
+    f64 arithmetic -- emulated and slow on TPU -- appears in any
+    per-round op.
     """
     M = p_hi.shape[0]
     Mp = int(np.ceil(M / pn.BLOCK) * pn.BLOCK)
@@ -290,12 +310,9 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
     p_c = diff * inv_scale[ids][:, None]
     R = Mp // pn._LANES
     p_t = jnp.transpose(p_c, (1, 0)).reshape(dim, R, pn._LANES)
-    nk = nodes_c32[ids]
-    n_t = jnp.transpose(nk, (1, 2, 0)).reshape(
-        nk.shape[1], dim, R, pn._LANES
-    )
-    refs_t, res_t = pn.newton_refs(
-        n_t, p_t, order, dim, iters=iters, clamp=clamp,
+    nrows = nodes_flat32[ids]  # [Mp, Fp] coalesced row gather
+    refs_t, res_t = pn.newton_refs_rows(
+        nrows, p_t, order, dim, iters=iters, clamp=clamp,
         interpret=interpret,
     )
     ref = jnp.transpose(refs_t.reshape(dim, Mp), (1, 0))[:M]
@@ -308,8 +325,8 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_c32, centering, order, dim,
     static_argnames=("order", "cfg", "fallback", "use_aabb", "interpret",
                      "want_weights", "rescue_mode", "n_valid"),
 )
-def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
-                  grid_data, nodes_lo,
+def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
+                  centering, aabb, grid_data, nodes_lo,
                   order, cfg, fallback, use_aabb, interpret, want_weights,
                   rescue_mode, n_valid=None):
     """Escalation-ladder point location (device-only, one jit).
@@ -335,8 +352,8 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
 
     def eval_rows(hi_rows, lo_rows, ids):
         ref, conv, maxabs = _pallas_invert_rows(
-            hi_rows, lo_rows, ids, nodes_c32, centering, order, d, iters,
-            cfg.newton_clamp, interpret,
+            hi_rows, lo_rows, ids, nodes_flat32, centering, order, d,
+            iters, cfg.newton_clamp, interpret,
         )
         valid = conv
         if use_aabb:
@@ -522,11 +539,18 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, centering, aabb,
             nodes_c32[el_s].astype(jnp.float64)
             + nodes_lo_c32[el_s].astype(jnp.float64)
         )
-        ref64, _res = _newton_iterations(
+        ref64, res64 = _newton_iterations(
             order, nodes64, p_c64, ref.astype(jnp.float64), 2,
             cfg.newton_clamp,
         )
-        ref = jnp.where(acc[:, None], ref64, ref.astype(jnp.float64))
+        # Defense against XLA:TPU emulated-f64 mis-evaluation (observed
+        # on large-batch f64 programs): a genuine polish of an accepted
+        # f32 ref converges to ~1e-12 residual, so any row whose polish
+        # residual is not even at the f32 plateau keeps its f32 ref
+        # instead of silently taking a corrupted f64 one.
+        good = (res64 < _F32_CONV_TOL)[:, None]
+        ref = jnp.where(acc[:, None] & good, ref64,
+                        ref.astype(jnp.float64))
         best_ref = best_ref.astype(jnp.float64)
 
     # ---- fallback assembly (same semantics as the sequential scan) ----
@@ -910,6 +934,7 @@ def locate(
     lo, hi = prep["lo"], prep["hi"]
     centering = prep["centering"]
     nodes_c32 = prep["nodes_c32"]
+    nodes_flat32 = prep["nodes_flat32"]
     corners_c32 = prep["corners_c32"]
     _z1 = jnp.zeros((1,), jnp.float32)
     nodes_lo = (prep.get("nodes_lo_c32", _z1),
@@ -945,8 +970,34 @@ def locate(
     else:
         elem_nodes_dev = jnp.asarray(elem_nodes)
 
+    # XLA:TPU mis-evaluates large-batch emulated-f64 programs: the same
+    # rows that solve exactly in a 32768-row batch come back with wrong
+    # reference coordinates once the compiled batch reaches 65536 rows
+    # (measured v5e, [n, 125, 3] f64 gather + Newton; pure-f32 programs
+    # are bit-stable across shapes).  The scan engine feeds the raw f64
+    # lattice through exactly such a program, so cap its batch size on
+    # TPU backends -- this also bounds the (128,128)-padded f64 gather
+    # temps to ~4 GB.  The pallas engine consumes pre-centered f32 (and
+    # split-f32 for the polish) and is unaffected.
+    scan_row_cap = (
+        32_768
+        if engine == "xla" and default_engine() == "pallas"
+        else None
+    )
+
     def run_scan_chunk(pts_c, cand_c, pm):
         n = pts_c.shape[0]
+        if scan_row_cap is not None and n > scan_row_cap:
+            parts = [
+                run_scan_chunk(
+                    pts_c[s : s + scan_row_cap],
+                    cand_c[s : s + scan_row_cap], pm,
+                )
+                for s in range(0, n, scan_row_cap)
+            ]
+            return tuple(
+                jnp.concatenate(cols) for cols in zip(*parts)
+            )
         bucket = max(min_bucket, 1 << max(0, (n - 1)).bit_length())
         if bucket != n:
             reps = bucket - n
@@ -980,8 +1031,8 @@ def locate(
                     [cand_c, jnp.repeat(cand_c[:1], reps, axis=0)]
                 )
             out = _ladder_chunk(
-                pts_c, cand_c, centroids, nodes_c32, centering, (lo, hi),
-                grid_data, nodes_lo,
+                pts_c, cand_c, centroids, nodes_c32, nodes_flat32,
+                centering, (lo, hi), grid_data, nodes_lo,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
                 rescue_mode, n_valid=n,
             )

@@ -218,6 +218,112 @@ def _make_kernel(order: int, dim: int, iters: int, clamp: float):
     return kernel
 
 
+def _rows_feature_pad(order: int, dim: int) -> int:
+    """Lane-padded feature width of a row-major node block."""
+    n_nodes = (order + 1) ** dim
+    return -(-(n_nodes * dim) // _LANES) * _LANES
+
+
+class _ScratchNodesView:
+    """Adapter letting the shared kernel body read node tiles from the
+    transposed scratch buffer with the same ``nodes_ref[m, a]`` indexing
+    it uses on the pre-transposed input layout."""
+
+    def __init__(self, ref, dim):
+        self._ref = ref
+        self._dim = dim
+
+    def __getitem__(self, ma):
+        m, a = ma
+        return self._ref[m * self._dim + a]
+
+
+def _make_rows_kernel(order: int, dim: int, iters: int, clamp: float):
+    base = _make_kernel(order, dim, iters, clamp)
+    Fp = _rows_feature_pad(order, dim)
+
+    def kernel(nrows_ref, pts_ref, ref_out, res_out, nt_scratch):
+        # [BLOCK, Fp] row-major block -> [Fp, 8, 128] point-lanes layout,
+        # transposed once in VMEM (the XLU does this at register speed;
+        # doing it globally in HBM costs ~2x the Newton kernel itself)
+        nt = nrows_ref[...]
+        nt_scratch[...] = jnp.transpose(nt, (1, 0)).reshape(
+            Fp, _SUBLANES, _LANES
+        )
+        base(_ScratchNodesView(nt_scratch, dim), pts_ref, ref_out, res_out)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "dim", "iters", "clamp", "interpret")
+)
+def newton_refs_rows(
+    nodes_rows,
+    points_t,
+    order: int,
+    dim: int,
+    iters: int = 20,
+    clamp: float = 8.0,
+    interpret: bool = False,
+):
+    """Batched inverse map from ROW-MAJOR gathered nodes.
+
+    nodes_rows: [C, Fp] f32 -- row i holds point i's pre-centered element
+                nodes flattened as ``m * dim + a`` and zero-padded to the
+                lane width (``_rows_feature_pad``).  This is the layout a
+                plain XLA row gather produces for free; the expensive
+                [C, n, d] -> [n, d, C] HBM transpose of ``newton_refs``'s
+                input is replaced by a per-block VMEM transpose here.
+    points_t:   [dim, R, 128] f32 pre-centered points (R = C/128, R a
+                multiple of 8).
+    Returns (refs [dim, R, 128], residual [R, 128]).
+    """
+    R = points_t.shape[1]
+    assert R % _SUBLANES == 0, f"row count {R} must be a multiple of 8"
+    Fp = _rows_feature_pad(order, dim)
+    assert nodes_rows.shape == (R * _LANES, Fp), (
+        nodes_rows.shape, (R * _LANES, Fp))
+    grid = (R // _SUBLANES,)
+    kernel = _make_rows_kernel(order, dim, iters, clamp)
+    zero = np.int32(0)
+    refs, res = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((dim, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, R, _LANES), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK, Fp),
+                lambda i: (i, zero),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (dim, _SUBLANES, _LANES),
+                lambda i: (zero, i, zero),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (dim, _SUBLANES, _LANES),
+                lambda i: (zero, i, zero),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _SUBLANES, _LANES),
+                lambda i: (zero, i, zero),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((Fp, _SUBLANES, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(nodes_rows, points_t)
+    return refs, res[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("order", "dim", "iters", "clamp", "interpret")
 )
