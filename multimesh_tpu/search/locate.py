@@ -47,6 +47,12 @@ from . import pallas_newton as pn
 # solves (~1e-6 plateau) from diverged/exterior junk
 _F32_CONV_TOL = 1e-4
 
+# Test hook: the nearest-centroid-only candidate path (use_near1 /
+# bucket_knn in ``locate``) is production-gated to real-TPU runs
+# (use_approx); setting this True lets the CPU/interpret suite exercise
+# it (tests/test_locate.py::test_locate_ladder_near1_matches_scan).
+_FORCE_NEAR1 = False
+
 
 @dataclasses.dataclass
 class LocateResult:
@@ -323,12 +329,13 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_flat32, centering, order,
 @functools.partial(
     jax.jit,
     static_argnames=("order", "cfg", "fallback", "use_aabb", "interpret",
-                     "want_weights", "rescue_mode", "n_valid"),
+                     "want_weights", "rescue_mode", "bucket_knn",
+                     "n_valid"),
 )
 def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
-                  centering, aabb, grid_data, nodes_lo,
+                  centering, aabb, grid_data, nodes_lo, bucket_search,
                   order, cfg, fallback, use_aabb, interpret, want_weights,
-                  rescue_mode, n_valid=None):
+                  rescue_mode, bucket_knn=False, n_valid=None):
     """Escalation-ladder point location (device-only, one jit).
 
     Round 1 runs the full-order Newton on every point's NEAREST candidate
@@ -448,6 +455,24 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         return jnp.argsort(key)
 
     state = (elem, ref, acc, best_max, best_ref, best_elem)
+
+    # In-jit candidate search for the rescue buckets (bucket_knn mode):
+    # when round 1 ran on nearest-centroid-only candidates (K == 1, the
+    # cheap fused argmax path -- a full per-point top-k would cost ~6x
+    # more and is wasted on the ~85% of points that accept immediately),
+    # the rescue rounds compute an approximate top-12 for just their
+    # bucket rows here.  bucket_search = (sp_c32 [E, d] centered
+    # permuted source coords, perm [E] int32, g_center [d]).
+    sp_c32, bs_perm, bs_center = bucket_search
+    if bucket_knn:
+        sp_norm = jnp.sum(sp_c32 * sp_c32, axis=-1)
+        kk = min(12, sp_c32.shape[0])
+
+        def bucket_cands(idx):
+            q32 = (points[idx] - bs_center).astype(jnp.float32)
+            neg = 2.0 * (q32 @ sp_c32.T) - sp_norm[None, :]
+            _, loc = jax.lax.approx_max_k(neg, kk, recall_target=0.95)
+            return bs_perm[loc]
     # full_op marks rows that received a FULL location opportunity: the
     # round-4 re-search (exact/grid: fresh full-budget candidate list) or,
     # for caller-provided candidate lists, having scanned every column.
@@ -462,6 +487,16 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         B = max(C // 4, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 1:min(4, K)], idx)
+    elif bucket_knn and kk > 1:
+        B = max(C // 4, min(C, 256))
+        idx = failure_order(state)[:B]
+        cand12 = bucket_cands(idx)
+        # park the bucket's top-12 for round 3: rows that enter the
+        # round-3 bucket later (crowded out here) read zeros -> they
+        # evaluate element 0 harmlessly (accept only if truly inside)
+        # and keep their full-recall shot in round 4 / the scan retry
+        cand12_buf = jnp.zeros((C, kk), jnp.int32).at[idx].set(cand12)
+        state = rescue(state, cand12[:, 1:min(4, kk)], idx)
     # ---- round 3: candidates 4..11 for the C/8 most-promising failures.
     # A row crowded out of round 2 can enter here after other rows accept
     # and will then skip columns 1..3: if its element IS among those
@@ -475,6 +510,10 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         B = max(C // 8, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 4:min(12, K)], idx)
+    elif bucket_knn and kk > 4:
+        B = max(C // 8, min(C, 256))
+        idx = failure_order(state)[:B]
+        state = rescue(state, cand12_buf[idx][:, 4:kk], idx)
     # ---- round 4: re-search for the C/32 hardest failures -------------
     # "exact" re-runs a full exact kNN (restores full recall when the
     # candidate list came from the approximate search); "grid" re-probes
@@ -903,6 +942,7 @@ def locate(
     if centroids is None:
         centroids = prep["centroids"]
     knn_per_chunk = candidates is None
+    use_near1 = False
     if knn_per_chunk:
         k = min(cfg.nelem_to_search, elem_nodes.shape[0])
         # the ladder's rescue rounds restore any candidates the
@@ -915,10 +955,26 @@ def locate(
         use_approx = use_ladder and not interpret
         if use_approx:
             k = min(k, 8)
+        # nearest-centroid-only candidates (fused matmul+argmax, ~6x
+        # cheaper than even approximate top-8): round 1 only ever
+        # evaluates the nearest candidate, and in bucket_knn mode the
+        # ladder's rescue rounds compute their own top-12 for just the
+        # bucket rows in-jit.  Small meshes only (the [C, E] product
+        # must be affordable); the grid path keeps its probed top-k.
+        from .grid import APPROX_GRID_MIN_SOURCES as _GRID_MIN
+
+        use_near1 = (
+            (use_approx or (_FORCE_NEAR1 and use_ladder))
+            and 64 < elem_nodes.shape[0] <= _GRID_MIN
+        )
 
         def chunk_candidates(pts_c):
             with _stage_timer("locate.knn") as t:
-                if use_approx:
+                if use_near1:
+                    from .knn import nearest_centroid
+
+                    cand_c = nearest_centroid(centroids, pts_c)[:, None]
+                elif use_approx:
                     # 4 probed bins (vs the public default 8) is plenty
                     # for CANDIDATE generation: the ladder re-probes 16
                     # bins for any point these candidates fail to accept
@@ -943,6 +999,27 @@ def locate(
 
     rescue_mode = "none"
     grid_data = (jnp.zeros((1,), jnp.float32),) * 4
+    bucket_knn = use_near1
+    if bucket_knn:
+        # rescue-bucket candidate search runs inside the ladder jit:
+        # randomly permuted (approx_max_k bins drop spatial neighbors
+        # otherwise), jointly centered f32 source coords
+        E_ = elem_nodes.shape[0]
+        perm_j = jnp.asarray(
+            np.random.default_rng(0xC0FFEE).permutation(E_).astype(
+                np.int32)
+        )
+        c_all = jnp.asarray(centroids)
+        bs_center = jnp.mean(c_all, axis=0)
+        bucket_search = (
+            (c_all[perm_j] - bs_center).astype(jnp.float32),
+            perm_j,
+            bs_center,
+        )
+    else:
+        _zb = jnp.zeros((1,), jnp.float32)
+        bucket_search = (jnp.zeros((1, d), jnp.float32),
+                         jnp.zeros((1,), jnp.int32), _zb)
     if use_ladder:
         from .grid import APPROX_GRID_MIN_SOURCES, get_grid_index
 
@@ -1032,9 +1109,9 @@ def locate(
                 )
             out = _ladder_chunk(
                 pts_c, cand_c, centroids, nodes_c32, nodes_flat32,
-                centering, (lo, hi), grid_data, nodes_lo,
+                centering, (lo, hi), grid_data, nodes_lo, bucket_search,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
-                rescue_mode, n_valid=n,
+                rescue_mode, bucket_knn=bucket_knn, n_valid=n,
             )
             return tuple(o[:n] for o in out)
         out = run_scan_chunk(pts_c, cand_c, pm)

@@ -202,6 +202,48 @@ def test_locate_ladder_matches_scan(fallback, rng):
     assert np.mean(same[both]) > 0.95
 
 
+@pytest.mark.parametrize("fallback", ["sentinel", "snap", "best"])
+def test_locate_ladder_near1_matches_scan(fallback, rng):
+    """The nearest-centroid-only candidate path (use_near1/bucket_knn:
+    round 1 on the single nearest centroid, rescue rounds computing
+    their own in-jit top-12) must reproduce the scan's accept set and
+    values.  Production-gated to real TPUs, so forced on here."""
+    from multimesh_tpu.search import locate as locate_mod
+
+    mesh = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=3, order=2)  # E=75>64
+    field = mmt.element_nodal_field(mesh, "smooth")
+    n = 160
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    pts[: n // 6] *= 1.5  # exterior points exercise rescue + fallback
+    scan = locate(pts, mesh.points, order=2, fallback=fallback,
+                  engine="pallas", strategy="scan")
+    locate_mod._FORCE_NEAR1 = True
+    try:
+        lad = locate(pts, mesh.points, order=2, fallback=fallback,
+                     engine="pallas", strategy="ladder")
+    finally:
+        locate_mod._FORCE_NEAR1 = False
+    np.testing.assert_array_equal(
+        np.asarray(scan.found), np.asarray(lad.found)
+    )
+    both = np.asarray(scan.found)
+    if fallback == "snap":
+        # snapped exterior points may snap to a different equally-near
+        # boundary element (extrapolated values then differ); interior
+        # accepts must agree
+        both = both & (np.asarray(scan.elements)
+                       == np.asarray(lad.elements))
+        assert both.sum() > 0.8 * n
+    vs = _interp(scan, field)[both]
+    vl = _interp(lad, field)[both]
+    np.testing.assert_allclose(vl, vs, rtol=5e-5)
+
+
 def test_locate_ladder_strategy_validation():
     mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
     pts = np.full((8, 3), 0.5)
