@@ -202,6 +202,75 @@ def _grid_query(bin_reps32, bin_elems, bin_coords6, center, queries,
     return d2.astype(queries.dtype), idx
 
 
+@functools.partial(jax.jit, static_argnames=("n_probe",))
+def _nearest_member_jit(bin_reps32, bin_elems, bin_coords6, center,
+                        queries, n_probe: int = 4):
+    """Nearest binned source per query, one fused pass with no top-k on
+    the member axis: ``approx_max_k`` picks the ``n_probe`` nearest bins
+    (a plain ``lax.top_k`` over [C, n_bins] costs more than the whole
+    rest of this kernel -- measured 114 ms vs 50 ms at C=262k/4096 bins)
+    and a single argmin over their members yields the candidate.  Member
+    ranking reads only the hi half of the split-f32 coords: selection
+    needs element-size resolution (km), not the survey-grade lo residual
+    (sub-meter), and halving the gather bytes is most of stage 2's cost.
+
+    This is the grid-path analogue of knn.nearest_centroid: the locate
+    ladder's round 1 only ever evaluates the nearest candidate (measured
+    99.1% acceptance at n_probe=4 on a 500k-element shell, identical to
+    the probed top-8's first column), and its rescue rounds re-probe
+    with a full top-k for the points where this single candidate fails."""
+    q32, _ = _center_queries(queries, center)
+    n_bins, two_d, m = bin_coords6.shape
+    d = two_d // 2
+    p = min(n_probe, n_bins)
+    neg = (
+        2.0 * (q32 @ bin_reps32.T)
+        - jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :]
+    )
+    if n_bins >= 128 and p * 8 <= n_bins:
+        _, probe = jax.lax.approx_max_k(neg, p)
+    else:
+        _, probe = jax.lax.top_k(neg, p)
+    coords = bin_coords6[probe, :d, :]  # [C, p, d, m] hi rows only
+    mem_ids = bin_elems[probe]  # [C, p, m]
+    C = q32.shape[0]
+    d2 = None
+    for a in range(d):
+        diff = coords[:, :, a, :] - q32[:, a, None, None]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    pos = jnp.argmin(d2.reshape(C, p * m), axis=1)
+    return jnp.take_along_axis(
+        mem_ids.reshape(C, p * m), pos[:, None], 1
+    )[:, 0]
+
+
+def nearest_member(index: GridIndex, queries, *, n_probe: int = 4,
+                   query_chunk: int = 262_144):
+    """Index of the (approximately) nearest binned source per query
+    ([N] int32): exact within the ``n_probe`` rep-nearest bins; a point
+    whose true nearest member lives outside them gets those bins' best
+    instead (callers pair this with a rescue path, exactly as for
+    knn.nearest_centroid's production use in the locate ladder)."""
+    queries = jnp.asarray(queries)
+    N = queries.shape[0]
+    if N == 0:
+        return jnp.zeros((0,), jnp.int32)
+    out = []
+    for start in range(0, N, query_chunk):
+        q = queries[start : start + query_chunk]
+        n = q.shape[0]
+        bucket = 1 << max(0, (n - 1)).bit_length()
+        if bucket != n:
+            q = jnp.concatenate(
+                [q, jnp.repeat(q[:1], bucket - n, axis=0)]
+            )
+        out.append(_nearest_member_jit(
+            index.bin_reps32, index.bin_elems, index.bin_coords6,
+            index.center, q, n_probe,
+        )[:n])
+    return jnp.concatenate(out) if len(out) > 1 else out[0]
+
+
 def grid_knn(
     index: GridIndex,
     queries,
@@ -217,6 +286,12 @@ def grid_knn(
     if N == 0:  # match knn()/approx_knn(): empty in, empty out
         return (jnp.zeros((0, k), jnp.float32),
                 jnp.zeros((0, k), jnp.int32))
+    # bound the stage-2 member gather ([chunk, p, 2d, m] f32) to ~1 GB:
+    # at p=8 probes of 128-member bins a 262k chunk would gather 6.4 GB,
+    # which OOMs when it lands on top of a transfer's resident weights
+    p_ = min(n_probe, index.n_bins)
+    row_bytes = 4 * p_ * index.bin_coords6.shape[1] * index.members_per_bin
+    query_chunk = min(query_chunk, max(8_192, (1 << 30) // row_bytes))
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]

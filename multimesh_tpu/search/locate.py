@@ -464,7 +464,27 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
     # bucket rows here.  bucket_search = (sp_c32 [E, d] centered
     # permuted source coords, perm [E] int32, g_center [d]).
     sp_c32, bs_perm, bs_center = bucket_search
-    if bucket_knn:
+    if bucket_knn and rescue_mode == "grid":
+        # grid-path near1 mode: rescue buckets probe the balanced-bin
+        # index in-jit (a full [B, E] sweep would scale with mesh size).
+        # 2 probed bins recover the adjacent-bin neighbors the round-1
+        # single-bin argmin missed; round 4 re-probes 16 bins for the
+        # few points still failing, so recall degrades to the full
+        # re-search, never silently.
+        from .grid import _center_queries as _cq, \
+            _grid_query_core as _gq_core
+
+        gb_reps32, gb_center, gb_elems, gb_coords6 = grid_data
+        kk = min(12, gb_elems.shape[0] * gb_elems.shape[1])
+
+        def bucket_cands(idx):
+            q32, q_lo = _cq(points[idx], gb_center)
+            _, cand = _gq_core(
+                gb_reps32, gb_elems, gb_coords6, q32, q_lo, kk,
+                n_probe=2, approx=True,
+            )
+            return cand
+    elif bucket_knn:
         sp_norm = jnp.sum(sp_c32 * sp_c32, axis=-1)
         kk = min(12, sp_c32.shape[0])
 
@@ -482,13 +502,23 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
     # silently fall through to sentinel/snap when >~40% of a chunk fails
     # round 1 (thin-element layered meshes).
     full_op = jnp.zeros((C,), bool)
-    # ---- round 2: next 3 candidates for the C/4 most-promising failures
+    # Rescue bucket sizes: C/4 then C/8 of the points, like the scan-fed
+    # ladder.  The grid near1 mode shrinks both to C/32 -- its p=4-probe
+    # round-1 candidate accepts ~99% (fails ~C/100, measured on a
+    # 500k-element shell), each bucket row costs an in-jit index probe
+    # on top of the Newton evals, and capacity far beyond the failure
+    # rate only burns time (every rescue stage here cost ~2x the
+    # round-1 Newton itself at C/8+C/16).  Meshes that fail round 1 in
+    # bulk spill to needs_retry and the exhaustive scan -- slower,
+    # never silent.
+    div2, div3 = (32, 32) if rescue_mode == "grid" else (4, 8)
+    # ---- round 2: next 3 candidates for the most-promising failures ----
     if K > 1:
         B = max(C // 4, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 1:min(4, K)], idx)
     elif bucket_knn and kk > 1:
-        B = max(C // 4, min(C, 256))
+        B = max(C // div2, min(C, 256))
         idx = failure_order(state)[:B]
         cand12 = bucket_cands(idx)
         # park the bucket's top-12 for round 3: rows that enter the
@@ -511,7 +541,7 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         idx = failure_order(state)[:B]
         state = rescue(state, cand[idx][:, 4:min(12, K)], idx)
     elif bucket_knn and kk > 4:
-        B = max(C // 8, min(C, 256))
+        B = max(C // div3, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand12_buf[idx][:, 4:kk], idx)
     # ---- round 4: re-search for the C/32 hardest failures -------------
@@ -942,7 +972,7 @@ def locate(
     if centroids is None:
         centroids = prep["centroids"]
     knn_per_chunk = candidates is None
-    use_near1 = False
+    use_near1 = use_near1_grid = False
     if knn_per_chunk:
         k = min(cfg.nelem_to_search, elem_nodes.shape[0])
         # the ladder's rescue rounds restore any candidates the
@@ -963,9 +993,19 @@ def locate(
         # must be affordable); the grid path keeps its probed top-k.
         from .grid import APPROX_GRID_MIN_SOURCES as _GRID_MIN
 
-        use_near1 = (
-            (use_approx or (_FORCE_NEAR1 and use_ladder))
-            and 64 < elem_nodes.shape[0] <= _GRID_MIN
+        near1_ok = (use_approx or (_FORCE_NEAR1 and use_ladder))
+        use_near1 = near1_ok and 64 < elem_nodes.shape[0] <= _GRID_MIN
+        # grid-path analogue: round-1 candidate = nearest member of the
+        # rep-nearest bin (one fused argmax + single-bin argmin, ~3x
+        # cheaper than the probed top-8 -- the candidate search was ~90%
+        # of build time at E=500k); the ladder's rescue rounds re-probe
+        # the bin index in-jit for the points where it fails.  Needs the
+        # host-built index, so concrete (non-tracer) sources only.
+        use_near1_grid = (
+            near1_ok
+            and elem_nodes.shape[0] > _GRID_MIN
+            and not isinstance(centroids, jax.core.Tracer)
+            and not isinstance(points, jax.core.Tracer)
         )
 
         def chunk_candidates(pts_c):
@@ -974,6 +1014,12 @@ def locate(
                     from .knn import nearest_centroid
 
                     cand_c = nearest_centroid(centroids, pts_c)[:, None]
+                elif use_near1_grid:
+                    from .grid import get_grid_index, nearest_member
+
+                    cand_c = nearest_member(
+                        get_grid_index(centroids), pts_c
+                    )[:, None]
                 elif use_approx:
                     # 4 probed bins (vs the public default 8) is plenty
                     # for CANDIDATE generation: the ladder re-probes 16
@@ -999,8 +1045,8 @@ def locate(
 
     rescue_mode = "none"
     grid_data = (jnp.zeros((1,), jnp.float32),) * 4
-    bucket_knn = use_near1
-    if bucket_knn:
+    bucket_knn = use_near1 or use_near1_grid
+    if use_near1:
         # rescue-bucket candidate search runs inside the ladder jit:
         # randomly permuted (approx_max_k bins drop spatial neighbors
         # otherwise), jointly centered f32 source coords

@@ -208,7 +208,13 @@ def test_locate_ladder_near1_matches_scan(fallback, rng):
     round 1 on the single nearest centroid, rescue rounds computing
     their own in-jit top-12) must reproduce the scan's accept set and
     values.  Production-gated to real TPUs, so forced on here."""
-    from multimesh_tpu.search import locate as locate_mod
+    import importlib
+
+    # NB: ``from multimesh_tpu.search import locate`` yields the
+    # re-exported FUNCTION, not the module -- setting _FORCE_NEAR1 on
+    # it would be a silent no-op and the ladder would keep its k=20
+    # exact candidates (this test then passes without testing anything)
+    locate_mod = importlib.import_module("multimesh_tpu.search.locate")
 
     mesh = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=3, order=2)  # E=75>64
     field = mmt.element_nodal_field(mesh, "smooth")
@@ -239,6 +245,56 @@ def test_locate_ladder_near1_matches_scan(fallback, rng):
         both = both & (np.asarray(scan.elements)
                        == np.asarray(lad.elements))
         assert both.sum() > 0.8 * n
+    vs = _interp(scan, field)[both]
+    vl = _interp(lad, field)[both]
+    np.testing.assert_allclose(vl, vs, rtol=5e-5)
+
+
+@pytest.mark.parametrize("fallback", ["sentinel", "snap", "best"])
+def test_locate_ladder_near1_grid_matches_scan(fallback, rng, monkeypatch):
+    """The grid-path nearest-member candidate mode (use_near1_grid:
+    round 1 on the single nearest bin member, rescue rounds probing the
+    balanced-bin index in-jit) must reproduce the scan's accept set and
+    values.  Production-gated to real TPUs and large sources, so forced
+    on here with a lowered grid threshold (multi-bin: E=256 -> 2 bins)."""
+    import importlib
+
+    locate_mod = importlib.import_module("multimesh_tpu.search.locate")
+    grid_mod = importlib.import_module("multimesh_tpu.search.grid")
+
+    mesh = mmt.shell_mesh(n_lat=8, n_lon=8, n_rad=4, order=2)  # E=256
+    field = mmt.element_nodal_field(mesh, "smooth")
+    n = 160
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    pts[: n // 6] *= 1.5  # exterior points exercise rescue + fallback
+    scan = locate(pts, mesh.points, order=2, fallback=fallback,
+                  engine="pallas", strategy="scan")
+    monkeypatch.setattr(grid_mod, "APPROX_GRID_MIN_SOURCES", 64)
+    monkeypatch.setattr(locate_mod, "_FORCE_NEAR1", True)
+    lad = locate(pts, mesh.points, order=2, fallback=fallback,
+                 engine="pallas", strategy="ladder")
+    np.testing.assert_array_equal(
+        np.asarray(scan.found), np.asarray(lad.found)
+    )
+    both = np.asarray(scan.found)
+    if fallback == "snap":
+        # Snapped far-exterior points are best-so-far over the EVALUATED
+        # candidate set, and the ladder evaluates a superset of the
+        # scan's k list (its rescue rounds probe extra bin members): a
+        # point all 20 scan candidates diverge on can still find a
+        # converged best in the ladder -- a strictly more informative
+        # snap.  Compare interior points (which must accept identically)
+        # and element agreement only.
+        interior = np.ones(n, bool)
+        interior[: n // 6] = False
+        both = both & interior & (np.asarray(scan.elements)
+                                  == np.asarray(lad.elements))
+        assert both.sum() > 0.8 * interior.sum()
     vs = _interp(scan, field)[both]
     vl = _interp(lad, field)[both]
     np.testing.assert_allclose(vl, vs, rtol=5e-5)
