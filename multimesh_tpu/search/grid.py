@@ -288,10 +288,13 @@ def grid_knn(
                 jnp.zeros((0, k), jnp.int32))
     # bound the stage-2 member gather ([chunk, p, 2d, m] f32) to ~1 GB:
     # at p=8 probes of 128-member bins a 262k chunk would gather 6.4 GB,
-    # which OOMs when it lands on top of a transfer's resident weights
+    # which OOMs when it lands on top of a transfer's resident weights.
+    # Floor to a power of two -- chunks are padded UP to one, so a
+    # non-power cap would quietly double the gather it tries to bound.
     p_ = min(n_probe, index.n_bins)
     row_bytes = 4 * p_ * index.bin_coords6.shape[1] * index.members_per_bin
-    query_chunk = min(query_chunk, max(8_192, (1 << 30) // row_bytes))
+    cap = max(8_192, (1 << 30) // row_bytes)
+    query_chunk = min(query_chunk, 1 << (cap.bit_length() - 1))
     out_d, out_i = [], []
     for start in range(0, N, query_chunk):
         q = queries[start : start + query_chunk]
