@@ -486,7 +486,12 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
             return cand
     elif bucket_knn:
         sp_norm = jnp.sum(sp_c32 * sp_c32, axis=-1)
-        kk = min(12, sp_c32.shape[0])
+        # top-8 (not 12): measured per-column acceptance on the order-4
+        # shell at E=4096 is monotone-flat past column 7 (fail 0.073% at
+        # col 7 vs 0.072% at col 11) -- columns 8..11 never accept a
+        # point that round 4's full-budget exact re-search would not,
+        # and k is a third of this approx_max_k's cost.
+        kk = min(8, sp_c32.shape[0])
 
         def bucket_cands(idx):
             q32 = (points[idx] - bs_center).astype(jnp.float32)
@@ -502,16 +507,16 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
     # silently fall through to sentinel/snap when >~40% of a chunk fails
     # round 1 (thin-element layered meshes).
     full_op = jnp.zeros((C,), bool)
-    # Rescue bucket sizes: C/4 then C/8 of the points, like the scan-fed
-    # ladder.  The grid near1 mode shrinks both to C/32 -- its p=4-probe
-    # round-1 candidate accepts ~99% (fails ~C/100, measured on a
-    # 500k-element shell), each bucket row costs an in-jit index probe
-    # on top of the Newton evals, and capacity far beyond the failure
-    # rate only burns time (every rescue stage here cost ~2x the
-    # round-1 Newton itself at C/8+C/16).  Meshes that fail round 1 in
-    # bulk spill to needs_retry and the exhaustive scan -- slower,
-    # never silent.
-    div2, div3 = (32, 32) if rescue_mode == "grid" else (4, 8)
+    # Rescue bucket sizes, matched to measured failure tails (capacity
+    # far beyond the failure rate only burns Newton evals: rounds 2+3
+    # at the old C/4+C/8 cost 46 ms of the 73 ms ladder at C=262k).
+    # Small-E nearest-centroid round 1 fails ~15% (C/6.7, order-4 shell
+    # at E=4096) -> round 2 keeps C/4; after columns 1..3 only 0.35%
+    # (C/283) remain -> round 3 shrinks C/8 -> C/32 (8.8x margin).  The
+    # grid near1 mode fails ~1% round 1 (500k-element shell) and keeps
+    # C/32 everywhere.  Meshes that fail in bulk spill to needs_retry
+    # and the exhaustive scan -- slower, never silent.
+    div2, div3 = (32, 32) if rescue_mode == "grid" else (4, 32)
     # ---- round 2: next 3 candidates for the most-promising failures ----
     if K > 1:
         B = max(C // 4, min(C, 256))
@@ -527,7 +532,7 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         # and keep their full-recall shot in round 4 / the scan retry
         cand12_buf = jnp.zeros((C, kk), jnp.int32).at[idx].set(cand12)
         state = rescue(state, cand12[:, 1:min(4, kk)], idx)
-    # ---- round 3: candidates 4..11 for the C/8 most-promising failures.
+    # ---- round 3: candidates 4..kk-1 for the most-promising failures.
     # A row crowded out of round 2 can enter here after other rows accept
     # and will then skip columns 1..3: if its element IS among those
     # columns it stays unaccepted and reaches round 4 / the scan retry
@@ -544,18 +549,21 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         B = max(C // div3, min(C, 256))
         idx = failure_order(state)[:B]
         state = rescue(state, cand12_buf[idx][:, 4:kk], idx)
-    # ---- round 4: re-search for the C/32 hardest failures -------------
+    # ---- round 4: re-search for the hardest failures -------------------
     # "exact" re-runs a full exact kNN (restores full recall when the
     # candidate list came from the approximate search); "grid" re-probes
     # the balanced-bin index with 4x the bins (large meshes, where a
     # [B, E] distance sweep would not fit).  locate always selects one
     # of the two whenever the ladder runs (even for caller-provided
     # candidate lists: the caller restricts the searchable ELEMENT SET,
-    # e.g. per-layer masks, not the candidate columns).
+    # e.g. per-layer masks, not the candidate columns).  Exact mode sizes
+    # the bucket C/128: measured fail after rounds 1-3 is 0.07% (C/1394,
+    # E=4096 shell) and each row here costs a top-k row plus k_full
+    # Newton evals; overflow goes to needs_retry, never silent.
     if rescue_mode == "exact":
         from .knn import _knn_jit
 
-        B = max(C // 32, min(C, 128))
+        B = max(C // 128, min(C, 128))
         idx = failure_order(state)[:B]
         k_full = min(int(cfg.nelem_to_search), centroids.shape[0])
         _, cand4 = _knn_jit(points[idx], centroids, k_full, 4096,
