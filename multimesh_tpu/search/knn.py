@@ -21,6 +21,14 @@ TPU-first design:
 * the coarse ranking runs in f32 on jointly centered coordinates; the
   returned top-k is re-ranked with exact full-precision distances, which
   removes the O(eps * scale^2) f32 noise from the ordering.
+
+MXU precision note: a DEFAULT-precision f32 matmul on TPU runs one bf16
+pass (~8 mantissa bits).  The exact path (``knn``/``_knn_jit``) forces
+HIGHEST on its coarse matmul so the group-coverage guarantee holds at
+f32 grade; the candidate-generation paths (``nearest_centroid``,
+``approx_knn``) deliberately stay at DEFAULT -- they feed the locate
+ladder, whose Newton-acceptance rescue re-tries any point whose
+candidate was misranked.
 """
 from __future__ import annotations
 
@@ -109,7 +117,14 @@ def _knn_jit(queries64, sources64, k: int, source_chunk: int, dtype,
     def coarse(start):
         s = jax.lax.dynamic_slice_in_dim(src, start, sc, 0)
         s_norm = jnp.sum(s * s, axis=-1)[None, :]
-        cross = qry @ s.T  # MXU
+        # HIGHEST: the TPU MXU multiplies bf16 natively, and a DEFAULT-
+        # precision f32 matmul carries only ~8 mantissa bits -- measured
+        # 21% wrong nearest picks on unit-box points.  The exactness
+        # guarantee of the two-stage selection ("a group's best is >= the
+        # k-th overall best iff it holds a top-k member") needs f32-grade
+        # coarse scores; members are still re-ranked in split-f32 below.
+        cross = jnp.matmul(qry, s.T,
+                           precision=jax.lax.Precision.HIGHEST)  # MXU
         neg = -(q_norm - 2.0 * cross + s_norm)
         vals, gloc = _top_groups(neg, n_keep)
         return vals, gloc + start // G
@@ -161,15 +176,24 @@ def _nearest_jit(queries64, sources64):
 
 
 def nearest_centroid(sources, queries, *, query_chunk: int = 262_144):
-    """Index of the exact nearest source for each query ([N] int32).
+    """Index of the (candidate-grade) nearest source per query ([N] int32).
 
     One fused matmul+argmax per chunk -- the [C, E] distance matrix is
     reduced as it is produced, so this runs ~6x faster than even the
     approximate top-k path (measured v5e, 262k x 4k: 5.5 ms vs 30 ms).
     The locate ladder's round 1 only ever evaluates the nearest
     candidate, so this is all the candidate search most points need;
-    coordinates are jointly centered before the f32 ranking (Earth-scale
-    magnitudes otherwise cancel catastrophically in f32)."""
+    coordinates are jointly centered before the ranking (Earth-scale
+    magnitudes otherwise cancel catastrophically in f32).
+
+    Ranking precision: the matmul runs at the MXU's DEFAULT (bf16-grade,
+    ~8 mantissa bits), so sources whose distances differ by less than
+    ~0.4% can be ordered wrongly.  That is by design for this CANDIDATE
+    pass -- the locate ladder's rescue rounds re-try every point whose
+    candidate fails Newton acceptance, and a HIGHEST-precision matmul
+    costs ~6x the MXU work for no measurable acceptance gain.  Exact
+    ranking lives in ``knn()``/``_knn_jit`` (HIGHEST coarse pass +
+    split-f32 re-rank)."""
     sources = jnp.asarray(sources)
     queries = jnp.asarray(queries)
     E = sources.shape[0]
