@@ -526,10 +526,10 @@ def main():
         result["platform"] = "cpu-fallback"
         result["note"] = note
         # context for the record: the most recent real-chip measurement
-        # of the headline config (BENCH_r02.json, one TPU v5e chip)
+        # of the headline config (round 3, one TPU v5e chip)
         result["last_tpu_measurement"] = {
-            "value": 2.6593, "unit": "M points/s/chip",
-            "n_points": 10_000_000, "round": 2,
+            "value": 4.6841, "unit": "M points/s/chip",
+            "n_points": 10_000_000, "round": 3,
         }
     print(json.dumps(result))
 
