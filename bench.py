@@ -96,7 +96,11 @@ def bench_gll(n_points=None, big_source=False):
     # 500k-element source the content hash alone is ~1.5 GB/pass
     src.points.setflags(write=False)
     pts = _target_points(n_points)
-    cfg = LocateConfig(nelem_to_search=20, precision=Precision.MIXED)
+    # BENCH_POLISH=df32 enables the pair-precision polish + compensated
+    # apply (f64-grade values; measures its overhead vs the f32 path)
+    polish = os.environ.get("BENCH_POLISH", "") == "df32"
+    cfg = LocateConfig(nelem_to_search=20, precision=Precision.MIXED,
+                       df32_polish=polish)
     fields_dev = jnp.asarray(fields)
     pts_dev = jnp.asarray(pts)
 
@@ -127,6 +131,7 @@ def bench_gll(n_points=None, big_source=False):
             "GLL->GLL remap throughput (order-4 source, "
             f"{n_points} pts, 3 params, build+apply)"
             + (" [500k-element source, grid path]" if big_source else "")
+            + (" [df32 polish]" if polish else "")
         ),
         "value": round(rate, 4),
         "unit": "M points/s/chip",

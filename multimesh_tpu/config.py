@@ -94,6 +94,21 @@ class LocateConfig:
     # numerics (reference multi_mesh/utils.py:212) when needed.
     f64_polish: bool = False
 
+    # Double-f32 polish (TPU fast path): one warm-started Newton
+    # iteration in (hi, lo) f32 pair arithmetic on each ACCEPTED pair
+    # via the fused Pallas kernel (search/pallas_df32.py) -- the same
+    # <1e-10 ref-coordinate accuracy as f64_polish at near-f32 speed
+    # (error-free transforms instead of emulated f64).  The polished
+    # refs ride along as a LocateResult.refs_lo / TransferOperator
+    # refs_lo component, and apply() then uses the compensated df32
+    # kernel for f64-grade end-to-end values.  Ladder/pallas engine
+    # only; ignored by the xla/scan paths (which have f64_polish).
+    df32_polish: bool = False
+
+    # Iterations for the df32 polish (1 suffices: quadratic convergence
+    # from the ~1e-7 f32 warm start hits the ~1e-12 pair floor).
+    df32_polish_iters: int = 1
+
     precision: Precision = Precision.MIXED
 
 

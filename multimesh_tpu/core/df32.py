@@ -13,8 +13,19 @@ multi_mesh/utils.py:212).
 
 All functions are shape-polymorphic jnp expressions on f32 arrays, usable
 inside Pallas kernel bodies and plain jitted XLA alike.  Correctness
-requires round-to-nearest f32 ops with NO fma contraction of a*b+c --
-verified exact on XLA:TPU, XLA:CPU and Mosaic (see tests/test_df32.py).
+requires round-to-nearest f32 ops with NO fma contraction of a*b+c.
+
+Backend caveat (measured on this image, round 3): XLA:TPU and Mosaic
+honor that contract -- the df32 kernels are bit-identical to an eager
+reference on a real v5e.  **XLA:CPU does not**: inside a fused jitted
+kernel LLVM contracts ``p + e`` with ``p = a*b`` into ``fma(a, b, e)``
+(verified: ``jit(lambda a,b,c: a*b + c)`` is single-rounded on CPU, and
+neither ``lax.optimization_barrier`` nor ``--xla_allow_excess_precision=
+false`` suppresses it), which silently degrades pair renormalization to
+~f32 accuracy.  Eager / ``jax.disable_jit()`` execution is exact on CPU
+(single-op kernels cannot contract).  Production df32 paths therefore
+target the TPU backends; CPU tests assert strict accuracy under
+``disable_jit`` and plumbing-grade accuracy under jit.
 
 A df32 value is an (hi, lo) tuple with hi = f32-rounding of the value and
 |lo| <= 0.5 ulp(hi); functions ending in `_f` take a plain f32 operand.

@@ -85,15 +85,26 @@ class TransferOperator:
     found: np.ndarray | None = None  # [N] bool
     recon: np.ndarray | None = None
     _weights: np.ndarray | None = None  # explicit weights (loaded caches)
+    # df32 pair residuals of refs (LocateConfig.df32_polish): when
+    # present, apply() runs the fused compensated-df32 kernel for
+    # f64-grade values at near-f32 cost (search/pallas_df32.py)
+    refs_lo: np.ndarray | None = None
 
     @property
     def weights(self):
-        """[N, (p+1)^d] weights; materialized lazily from refs."""
+        """[N, (p+1)^d] weights; materialized lazily from refs.  With a
+        df32-polished operator the pair refs combine to f64 first, so
+        saved caches keep the full pair precision."""
         if self._weights is not None:
             return self._weights
         from ..core import gll
 
-        w = gll.tensor_basis(self.order, jnp.asarray(self.refs))
+        refs = jnp.asarray(self.refs)
+        if self.refs_lo is not None:
+            refs = refs.astype(jnp.float64) + jnp.asarray(
+                self.refs_lo, jnp.float64
+            )
+        w = gll.tensor_basis(self.order, refs)
         if self.found is not None:
             w = jnp.where(jnp.asarray(self.found)[:, None], w, 0.0)
         return w
@@ -132,6 +143,7 @@ class TransferOperator:
             refs=res.refs,
             found=res.found,
             recon=None if recon is None else jnp.asarray(recon),
+            refs_lo=res.refs_lo,
         )
 
     @staticmethod
@@ -189,6 +201,8 @@ class TransferOperator:
                 )
                 for s in range(0, N, chunk)
             ]
+        elif self.refs_lo is not None:
+            outs = self._apply_df32(fields, elements, chunk)
         else:
             refs = jnp.asarray(self.refs)
             found = (
@@ -208,6 +222,49 @@ class TransferOperator:
         if expand and self.recon is not None:
             out = out[jnp.asarray(self.recon)]
         return out[:, 0] if single else out
+
+    def _apply_df32(self, fields, elements, chunk):
+        """Compensated-df32 apply: pair-precision weights from the
+        polished (refs, refs_lo) dotted with split-f32 fields in the
+        fused Pallas kernel -- f64-grade values with no emulated-f64 op
+        anywhere in the per-point path (the final hi+lo combine is one
+        add per output value)."""
+        from ..search import pallas_df32 as pd32
+        from ..search.locate import default_engine
+
+        refs = jnp.asarray(self.refs, jnp.float32)
+        refs_lo = jnp.asarray(self.refs_lo, jnp.float32)
+        N, dim = refs.shape
+        F = fields.shape[0]
+        frows_hi, frows_lo = pd32.prepare_field_rows(
+            fields, self.order, dim
+        )
+        interpret = default_engine() != "pallas"
+        outs = []
+        for s in range(0, N, chunk):
+            el = elements[s:s + chunk]
+            n = el.shape[0]
+            bucket = max(pd32.BLOCK, 1 << max(0, (n - 1)).bit_length())
+
+            def pad(x):
+                if bucket == n:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[:1], bucket - n, axis=0)]
+                )
+
+            safe = pad(jnp.maximum(el, 0))
+            vh, vl = pd32.apply_pairs(
+                pad(refs[s:s + chunk]), pad(refs_lo[s:s + chunk]),
+                frows_hi[safe], frows_lo[safe],
+                order=self.order, dim=dim, n_params=F,
+                interpret=interpret,
+            )
+            vals = vh[:n].astype(jnp.float64) + vl[:n].astype(
+                jnp.float64
+            )
+            outs.append(jnp.where((el >= 0)[:, None], vals, 0.0))
+        return outs
 
     # -- persistence ------------------------------------------------------
     def save(self, directory: PathLike, fingerprint: int | None = None):

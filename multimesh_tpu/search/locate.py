@@ -68,6 +68,10 @@ class LocateResult:
     refs: jnp.ndarray
     weights: jnp.ndarray
     found: jnp.ndarray
+    # df32 polish residuals: refs + refs_lo is the (hi, lo) pair-precision
+    # reference coordinate (LocateConfig.df32_polish; zeros on rows the
+    # polish skipped).  None unless the polish ran.
+    refs_lo: jnp.ndarray | None = None
 
 
 _PREP_CACHE: dict = {}
@@ -120,12 +124,19 @@ def _mesh_prep_jit(elem_nodes, order, d, pallas, want_lo=False):
             # split-f32 residuals: hi + lo reconstructs the f64 geometry
             # (and the f64 inverse scale -- points and nodes must be
             # scaled CONSISTENTLY or the polish stalls at f32 accuracy)
-            out["nodes_lo_c32"] = (
+            nodes_lo = (
                 nodes_c - nodes_c32.astype(nodes_c.dtype)
             ).astype(jnp.float32)
+            out["nodes_lo_c32"] = nodes_lo
             out["inv_scale_lo"] = (
                 1.0 / scales - inv_scale.astype(scales.dtype)
             ).astype(jnp.float32)
+            # lane-padded flat twin of nodes_flat32 for the df32 polish
+            # kernel's row gather
+            out["nodes_lo_flat32"] = jnp.concatenate(
+                [nodes_lo.reshape(E, n_nodes * d),
+                 jnp.zeros((E, Fp - n_nodes * d), jnp.float32)], axis=1,
+            )
     else:
         z = jnp.zeros((1,), jnp.float32)
         out["centering"] = (z, z, z)
@@ -165,14 +176,18 @@ def _mesh_prep_host(elem_nodes: np.ndarray, order, d, pallas,
             (corners - centers[:, None, :]) / scales[:, None, None]
         ).astype(np.float32))
         if want_lo:
-            out["nodes_lo_c32"] = jnp.asarray(
-                (nodes_c - nodes_c32.astype(np.float64)).astype(np.float32)
-            )
+            nodes_lo = (
+                nodes_c - nodes_c32.astype(np.float64)
+            ).astype(np.float32)
+            out["nodes_lo_c32"] = jnp.asarray(nodes_lo)
             inv_scale32 = (1.0 / scales).astype(np.float32)
             out["inv_scale_lo"] = jnp.asarray(
                 (1.0 / scales - inv_scale32.astype(np.float64)
                  ).astype(np.float32)
             )
+            flat_lo = np.zeros((E, Fp), np.float32)
+            flat_lo[:, : n_nodes * d] = nodes_lo.reshape(E, n_nodes * d)
+            out["nodes_lo_flat32"] = jnp.asarray(flat_lo)
         ctr_hi = centers.astype(np.float32)
         ctr_lo = (centers - ctr_hi.astype(np.float64)).astype(np.float32)
         out["centering"] = (
@@ -974,9 +989,14 @@ def locate(
 
     from ..utils_profile import stage_timer as _stage_timer
 
+    use_df32_polish = (
+        cfg.df32_polish and use_ladder and not cfg.f64_polish
+    )
     with _stage_timer("locate.prep"):
-        prep = _mesh_prep(elem_nodes, order, d, engine,
-                          want_lo=use_ladder and cfg.f64_polish)
+        prep = _mesh_prep(
+            elem_nodes, order, d, engine,
+            want_lo=use_ladder and (cfg.f64_polish or cfg.df32_polish),
+        )
     if centroids is None:
         centroids = prep["centroids"]
     knn_per_chunk = candidates is None
@@ -1277,4 +1297,57 @@ def locate(
             weights = weights.at[retry_j].set(r_w)
             found = found.at[retry_j].set(r_f)
 
-    return LocateResult(elements, refs, weights, found)
+    refs_lo = None
+    if use_df32_polish:
+        # Pair-precision refinement of the ACCEPTED rows (snapped/best/
+        # sentinel rows keep their scan semantics untouched): one fused
+        # df32 Newton pass, ~1e-10 ref accuracy at near-f32 cost.  Any
+        # weights returned above stay f32-grade -- the refined (hi, lo)
+        # refs are what TransferOperator.apply consumes.
+        from . import pallas_df32 as pd32
+
+        with _stage_timer("locate.df32_polish") as t:
+            ctr_hi_a, ctr_lo_a, inv_scale_a = centering
+            inv_scale_lo_a = prep["inv_scale_lo"]
+            nodes_lo_flat = prep["nodes_lo_flat32"]
+            p32 = points.astype(jnp.float32)
+            p32_lo = (points - p32.astype(points.dtype)).astype(
+                jnp.float32
+            )
+            refs = refs.astype(jnp.float32)
+            out_hi, out_lo = [], []
+            for start in range(0, N, chunk):
+                sl = slice(start, min(start + chunk, N))
+                n = sl.stop - sl.start
+                # power-of-two row bucket: one compile shape per bucket
+                bucket = max(min_bucket, 1 << max(0, (n - 1)).bit_length())
+                el = elements[sl]
+                keep = accepted[sl] & (el >= 0)
+
+                def pad(x):
+                    if bucket == n:
+                        return x
+                    return jnp.concatenate(
+                        [x, jnp.repeat(x[:1], bucket - n, axis=0)]
+                    )
+
+                rh, rl, okp = pd32.polish_pairs(
+                    pad(p32[sl]), pad(p32_lo[sl]),
+                    pad(jnp.maximum(el, 0)), pad(refs[sl]),
+                    nodes_flat32, nodes_lo_flat,
+                    ctr_hi_a, ctr_lo_a, inv_scale_a, inv_scale_lo_a,
+                    order=order, dim=d,
+                    iters=cfg.df32_polish_iters, interpret=interpret,
+                )
+                sel = (keep & okp[:n])[:, None]
+                out_hi.append(jnp.where(sel, rh[:n], refs[sl]))
+                out_lo.append(jnp.where(sel, rl[:n], 0.0))
+            refs = (
+                out_hi[0] if len(out_hi) == 1 else jnp.concatenate(out_hi)
+            )
+            refs_lo = (
+                out_lo[0] if len(out_lo) == 1 else jnp.concatenate(out_lo)
+            )
+            t.sync(refs_lo)
+
+    return LocateResult(elements, refs, weights, found, refs_lo=refs_lo)
