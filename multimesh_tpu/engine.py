@@ -40,9 +40,18 @@ from .ops import (
 PathLike = Union[str, pathlib.Path]
 
 
+def _df32_default() -> bool:
+    """MMT_DF32_POLISH=1 flips every engine transfer to the df32
+    pair-precision polish + compensated apply (f64-grade values,
+    search/pallas_df32.py) at ~20% throughput cost on TPU.  Off by
+    default: the f32 pipeline already meets the <1e-6 target."""
+    return os.environ.get("MMT_DF32_POLISH", "") == "1"
+
+
 def _locate_cfg(nelem_to_search: int, accept_tol: float) -> LocateConfig:
     return LocateConfig(
-        nelem_to_search=nelem_to_search, accept_tol=accept_tol
+        nelem_to_search=nelem_to_search, accept_tol=accept_tol,
+        df32_polish=_df32_default(),
     )
 
 
@@ -507,7 +516,7 @@ def exodus_2_gll(
 
         cfg = LocateConfig(
             nelem_to_search=nelem_to_search, accept_tol=1.025,
-            fallback_max=1.5,
+            fallback_max=1.5, df32_polish=_df32_default(),
         )
         op = TransferOperator.build(
             corner_nodes,
@@ -607,7 +616,8 @@ def get_element_weights(
     (or None to compute them).
     """
     cfg = LocateConfig(nelem_to_search=nelem_to_search,
-                       accept_tol=tolerance)
+                       accept_tol=tolerance,
+                       df32_polish=_df32_default())
     op = TransferOperator.build(
         gll_points,
         np.asarray(points, np.float64),
@@ -633,7 +643,7 @@ def get_element_weights_layered(
 
     new_coordinates: layer -> (points, recon); nearest_elements: layer ->
     [N_layer, k] candidate ids into the masked element set."""
-    cfg = LocateConfig(accept_tol=1.03)
+    cfg = LocateConfig(accept_tol=1.03, df32_polish=_df32_default())
     elems, coeffs = {}, {}
     for layer, (pts, _recon) in new_coordinates.items():
         op = TransferOperator.build(
@@ -670,7 +680,8 @@ def exodus_2_exodus(
         )
 
     cfg = LocateConfig(
-        nelem_to_search=nelem_to_search, accept_tol=1.025, fallback_max=1.5
+        nelem_to_search=nelem_to_search, accept_tol=1.025,
+        fallback_max=1.5, df32_polish=_df32_default(),
     )
     op = TransferOperator.build(
         exo_a.canonical_corner_nodes(),

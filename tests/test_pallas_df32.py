@@ -199,6 +199,24 @@ def test_apply_kernel_interpret_plumbing(rng):
     assert rel < 5e-6, rel
 
 
+def test_engine_env_flag_smoke(monkeypatch, rng):
+    """MMT_DF32_POLISH=1 flows through the engine cfg sites without
+    changing semantics on the xla (CPU) engine, where the ladder-only
+    polish is inert."""
+    import jax.numpy as jnp
+    from multimesh_tpu import engine
+    from multimesh_tpu import testing as mmt
+
+    src = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+    center_node = 27 // 2
+    pts = src.points[:, center_node, :]
+    base = engine.get_element_weights(src.points, 2, None, pts)
+    monkeypatch.setenv("MMT_DF32_POLISH", "1")
+    flagged = engine.get_element_weights(src.points, 2, None, pts)
+    np.testing.assert_array_equal(base[0], flagged[0])
+    np.testing.assert_allclose(base[1], flagged[1], rtol=0, atol=1e-12)
+
+
 def test_operator_df32_end_to_end(rng, tmp_path):
     """LocateConfig(df32_polish=True) threads pair refs through locate ->
     TransferOperator -> compensated apply -> save/load.  Accuracy here is
