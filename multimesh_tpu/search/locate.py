@@ -53,7 +53,6 @@ _F32_CONV_TOL = 1e-4
 # it (tests/test_locate.py::test_locate_ladder_near1_matches_scan).
 _FORCE_NEAR1 = False
 
-
 @dataclasses.dataclass
 class LocateResult:
     """elements [N] (int32, -1 = not found), refs [N, d], weights [N, n],
@@ -1035,6 +1034,14 @@ def locate(
             and not isinstance(centroids, jax.core.Tracer)
             and not isinstance(points, jax.core.Tracer)
         )
+        # NOTE on a measured dead end: a precomputed per-voxel candidate
+        # table (16 nearest elements per uniform-grid voxel, one packed
+        # 512 B row gather per query) was prototyped here and is NOT a
+        # win on v5e -- the random row gather is HBM-latency-bound at
+        # ~36 ms per 262k chunk, the same as nearest_member(n_probe=1),
+        # while cubic voxels sized to the MEDIAN centroid spacing hit
+        # only ~53% nearest agreement on anisotropic shells (E=500k),
+        # tripling ladder rescue work (601 ms vs 174 ms per chunk).
 
         def chunk_candidates(pts_c):
             with _stage_timer("locate.knn") as t:
@@ -1252,27 +1259,33 @@ def locate(
         # host on every call would cost ~N bytes over the tunnel.)
         retry = np.where(np.asarray(needs_retry))[0]
         k_full = min(cfg.nelem_to_search, elem_nodes.shape[0])
-        retry_j = jnp.asarray(retry)
-        pts_r = points[retry_j]
         with _stage_timer("locate.ladder_retry"):
-            if knn_per_chunk:
-                _, cand_r = _knn(centroids, pts_r, k_full)
-                cand_r = jnp.asarray(cand_r)
-            else:
-                cand_r = candidates[retry_j]
-            # scan-retried rows carry the engine's native (f32) ref
-            # precision -- the f64 polish only covers ladder-accepted rows
-            r_el, r_ref, r_w, r_f, _acc = run_scan_chunk(
-                pts_r, cand_r, 0
-            )
-            elements = elements.at[retry_j].set(r_el)
-            refs = refs.at[retry_j].set(r_ref.astype(refs.dtype))
-            if want_weights:
-                weights = weights.at[retry_j].set(
-                    r_w.astype(weights.dtype)
+            # chunked like the main loop: a mass failure (bad round-1
+            # candidates, pathological meshes) must degrade to a slow
+            # scan, never to an OOM -- an unchunked retry at 8M rows
+            # compiles a 16 GB [n, n_nodes, d] gather
+            for rs in range(0, retry.size, chunk):
+                retry_j = jnp.asarray(retry[rs:rs + chunk])
+                pts_r = points[retry_j]
+                if knn_per_chunk:
+                    _, cand_r = _knn(centroids, pts_r, k_full)
+                    cand_r = jnp.asarray(cand_r)
+                else:
+                    cand_r = candidates[retry_j]
+                # scan-retried rows carry the engine's native (f32) ref
+                # precision -- the f64 polish only covers ladder-accepted
+                # rows
+                r_el, r_ref, r_w, r_f, _acc = run_scan_chunk(
+                    pts_r, cand_r, 0
                 )
-            found = found.at[retry_j].set(r_f)
-            accepted = accepted.at[retry_j].set(_acc)
+                elements = elements.at[retry_j].set(r_el)
+                refs = refs.at[retry_j].set(r_ref.astype(refs.dtype))
+                if want_weights:
+                    weights = weights.at[retry_j].set(
+                        r_w.astype(weights.dtype)
+                    )
+                found = found.at[retry_j].set(r_f)
+                accepted = accepted.at[retry_j].set(_acc)
 
     k_avail = k if knn_per_chunk else candidates.shape[1]
     if prefilter_m and prefilter_m < k_avail and not use_ladder:
