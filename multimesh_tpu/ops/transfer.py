@@ -267,18 +267,44 @@ class TransferOperator:
         return outs
 
     # -- persistence ------------------------------------------------------
-    def save(self, directory: PathLike, fingerprint: int | None = None):
-        """Persist as elements.npy / coeffs.npy (+ recon.npy), the same
-        file names the reference uses for its stored_array caches
-        (reference interpolator.py:800-810).  ``fingerprint`` (see
-        content_fingerprint) is stored in meta.npy so ``load`` can refuse
-        a cache built from different geometry."""
+    def save(self, directory: PathLike, fingerprint: int | None = None,
+             dense: bool = False):
+        """Persist the operator.
+
+        Default (compact) format: elements.npy + refs.npy (+ found.npy,
+        refs_lo.npy, recon.npy) -- the [N, d] reference coordinates the
+        operator already carries, ~(p+1)^d/d smaller than the dense
+        weights (a 100M-point order-4 operator is ~2.5 GB instead of
+        ~100 GB), with the weights re-materialized lazily on load.
+
+        ``dense=True`` writes the reference-compatible elements.npy /
+        coeffs.npy pair instead (the file names the reference's
+        stored_array caches use, reference interpolator.py:800-810) so
+        external tooling expecting dense coefficients keeps working.
+
+        ``fingerprint`` (see content_fingerprint) is stored in meta.npy
+        so ``load`` can refuse a cache built from different geometry."""
         directory = str(directory)
         os.makedirs(directory, exist_ok=True)
         np.save(os.path.join(directory, "elements.npy"),
                 np.asarray(self.elements))
-        np.save(os.path.join(directory, "coeffs.npy"),
-                np.asarray(self.weights))  # materializes from refs
+        # explicitly-assigned weights (legacy loads, user edits) take
+        # precedence: the refs may no longer describe them
+        if self.refs is not None and self._weights is None and not dense:
+            np.save(os.path.join(directory, "refs.npy"),
+                    np.asarray(self.refs))
+            found = (
+                np.asarray(self.found)
+                if self.found is not None
+                else np.ones((self.n_points,), bool)
+            )
+            np.save(os.path.join(directory, "found.npy"), found)
+            if self.refs_lo is not None:
+                np.save(os.path.join(directory, "refs_lo.npy"),
+                        np.asarray(self.refs_lo))
+        else:
+            np.save(os.path.join(directory, "coeffs.npy"),
+                    np.asarray(self.weights))  # materializes from refs
         np.save(
             os.path.join(directory, "meta.npy"),
             np.array([self.order, 0 if fingerprint is None else fingerprint],
@@ -291,17 +317,33 @@ class TransferOperator:
     @classmethod
     def load(cls, directory: PathLike,
              fingerprint: int | None = None) -> "TransferOperator":
-        """Load a saved operator.  When ``fingerprint`` is given, the
-        cache must carry the same value (saved from the same source and
-        target geometry) -- a cache without one, or with a different one,
-        raises ValueError so callers rebuild instead of silently applying
-        another mesh's weights."""
+        """Load a saved operator (compact refs format or legacy/export
+        dense coeffs format, auto-detected).  When ``fingerprint`` is
+        given, the cache must carry the same value (saved from the same
+        source and target geometry) -- a cache without one, or with a
+        different one, raises ValueError so callers rebuild instead of
+        silently applying another mesh's weights."""
         directory = str(directory)
         elements = np.load(os.path.join(directory, "elements.npy"))
-        weights = np.load(os.path.join(directory, "coeffs.npy"))
-        if np.isnan(weights).any():
-            # reference refuses NaN-infested caches (interpolator.py:735-740)
-            raise ValueError(f"stored coeffs at {directory} contain NaNs")
+        refs_path = os.path.join(directory, "refs.npy")
+        compact = os.path.exists(refs_path)
+        if compact:
+            refs = np.load(refs_path)
+            if not np.isfinite(refs).all():
+                raise ValueError(
+                    f"stored refs at {directory} contain non-finite values"
+                )
+            found = np.load(os.path.join(directory, "found.npy"))
+            lo_path = os.path.join(directory, "refs_lo.npy")
+            refs_lo = np.load(lo_path) if os.path.exists(lo_path) else None
+            weights = None
+        else:
+            weights = np.load(os.path.join(directory, "coeffs.npy"))
+            if np.isnan(weights).any():
+                # reference refuses NaN caches (interpolator.py:735-740)
+                raise ValueError(
+                    f"stored coeffs at {directory} contain NaNs"
+                )
         meta_path = os.path.join(directory, "meta.npy")
         stored_fp = None
         if os.path.exists(meta_path):
@@ -309,6 +351,10 @@ class TransferOperator:
             order = int(meta[0])
             if meta.shape[0] > 1 and int(meta[1]) != 0:
                 stored_fp = int(np.asarray(meta, np.uint64)[1])
+        elif compact:
+            raise ValueError(
+                f"compact operator at {directory} lacks meta.npy (order)"
+            )
         else:
             dim = 3
             order = int(round(weights.shape[1] ** (1 / dim))) - 1
@@ -319,6 +365,10 @@ class TransferOperator:
             )
         recon_path = os.path.join(directory, "recon.npy")
         recon = np.load(recon_path) if os.path.exists(recon_path) else None
+        if compact:
+            return cls(elements=elements.astype(np.int32), order=order,
+                       refs=refs, found=found, refs_lo=refs_lo,
+                       recon=recon)
         op = cls(elements=elements.astype(np.int32), order=order,
                  recon=recon)
         op._weights = weights
@@ -326,6 +376,8 @@ class TransferOperator:
 
     @staticmethod
     def exists(directory: PathLike) -> bool:
-        return os.path.exists(
-            os.path.join(str(directory), "coeffs.npy")
-        ) and os.path.exists(os.path.join(str(directory), "elements.npy"))
+        d = str(directory)
+        return os.path.exists(os.path.join(d, "elements.npy")) and (
+            os.path.exists(os.path.join(d, "coeffs.npy"))
+            or os.path.exists(os.path.join(d, "refs.npy"))
+        )

@@ -65,10 +65,15 @@ def test_gll_2_gll_end_to_end(shell_pair, tmp_path):
     )
 
     # prove the cache is actually READ on a hit (a deterministic rebuild
-    # would also be bit-identical): poison the stored coefficients and
-    # check the doubled values flow through to the output
-    coeffs_path = cache / "coeffs.npy"
-    np.save(coeffs_path, 2.0 * np.load(coeffs_path))
+    # would also be bit-identical): swap the compact cache for a dense
+    # one with doubled coefficients and check the doubled values flow
+    # through to the output
+    from multimesh_tpu.ops import TransferOperator
+
+    cached_op = TransferOperator.load(cache)
+    np.save(cache / "coeffs.npy", 2.0 * np.asarray(cached_op.weights))
+    (cache / "refs.npy").unlink()
+    (cache / "found.npy").unlink()
     mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS", "RHO"))
     api.gll_2_gll(from_gll=str(src_path), to_gll=str(tgt_path),
                   stored_array=str(cache))

@@ -49,6 +49,25 @@ def test_row_swap_sensitivity():
     assert content_hash(a) != content_hash(b)
 
 
+def test_sampled_blake2b_layer_guards_weighted_sums():
+    """Layer 2 (blake2b over every 64th 4 KB page) must make the digest
+    depend on sampled-page bytes through a cryptographic path: two
+    arrays whose uint32 views are chosen to agree in all four weighted
+    reductions of a hypothetical weaker layer still differ because the
+    sampled pages differ.  We can't construct a true layer-1 collision
+    (that's the point of layer 1), so this asserts the structural
+    property instead: edits confined to sampled pages (page 0, page 64)
+    and to unsampled pages (page 1) all move the digest, for an array
+    large enough that the stride actually skips pages."""
+    n_pages = 130  # > 2*64 so pages 0 and 64 are sampled, 1..63 are not
+    a = np.zeros(n_pages * 4096, np.uint8)
+    h0 = content_hash(a)
+    for page in (0, 1, 64, 129):
+        b = a.copy()
+        b[page * 4096 + 17] = 1
+        assert content_hash(b) != h0, f"page {page} edit missed"
+
+
 def test_fingerprint_shape_dtype():
     a = np.arange(24, dtype=np.float64)
     assert content_fingerprint(a) != content_fingerprint(a.reshape(4, 6))

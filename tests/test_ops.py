@@ -38,13 +38,25 @@ def test_transfer_operator_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out[:, 0], vals)
     np.testing.assert_allclose(out[:, 1], 2 * vals)
 
-    # save / load
+    # save / load (default compact refs format: no dense coeffs on disk)
     op.save(tmp_path / "cache")
+    assert (tmp_path / "cache" / "refs.npy").exists()
+    assert not (tmp_path / "cache" / "coeffs.npy").exists()
     op2 = TransferOperator.load(tmp_path / "cache")
     assert op2.order == 4
     np.testing.assert_allclose(op2.apply(field), vals)
     assert TransferOperator.exists(tmp_path / "cache")
     assert not TransferOperator.exists(tmp_path / "nope")
+
+    # dense export (reference stored_array compatibility)
+    op.save(tmp_path / "dense", dense=True)
+    assert (tmp_path / "dense" / "coeffs.npy").exists()
+    op3 = TransferOperator.load(tmp_path / "dense")
+    np.testing.assert_allclose(op3.apply(field), vals)
+    # the compact form is ~(p+1)^d/d smaller than the dense export
+    compact_bytes = (tmp_path / "cache" / "refs.npy").stat().st_size
+    dense_bytes = (tmp_path / "dense" / "coeffs.npy").stat().st_size
+    assert compact_bytes * 10 < dense_bytes
 
 
 def test_transfer_operator_fingerprint(tmp_path, rng):
@@ -92,9 +104,9 @@ def test_gll_2_gll_rejects_stale_cache(tmp_path):
     cache = tmp_path / "op_cache"
     engine.gll_2_gll(a, b1, stored_array=cache)
 
-    # poison the cached weights; only a rebuild can now give sane values
-    coeffs = np.load(cache / "coeffs.npy")
-    np.save(cache / "coeffs.npy", np.full_like(coeffs, 1e6))
+    # poison the cached refs; only a rebuild can now give sane values
+    refs = np.load(cache / "refs.npy")
+    np.save(cache / "refs.npy", np.full_like(refs, 0.999))
 
     # same-shape source, perturbed geometry: fingerprint must mismatch
     src2 = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
@@ -118,9 +130,41 @@ def test_transfer_operator_nan_cache_rejected(tmp_path):
     op = TransferOperator.build(src.points, pts, order=1)
     op.weights = np.array(op.weights)  # device array is immutable
     op.weights[0, 0] = np.nan
-    op.save(tmp_path / "bad")
+    op.save(tmp_path / "bad")  # explicit weights force the dense format
     with pytest.raises(ValueError, match="NaN"):
         TransferOperator.load(tmp_path / "bad")
+
+    # compact format: non-finite stored refs are refused the same way
+    op2 = TransferOperator.build(src.points, pts, order=1)
+    op2.save(tmp_path / "bad_refs")
+    refs = np.load(tmp_path / "bad_refs" / "refs.npy")
+    refs[0, 0] = np.inf
+    np.save(tmp_path / "bad_refs" / "refs.npy", refs)
+    with pytest.raises(ValueError, match="non-finite"):
+        TransferOperator.load(tmp_path / "bad_refs")
+
+
+def test_transfer_operator_compact_preserves_df32_pairs(tmp_path, rng):
+    """A df32-polished operator round-trips its (hi, lo) ref pairs, so a
+    reloaded cache keeps the full pair precision (weights materialized
+    from hi+lo in f64)."""
+    from multimesh_tpu.config import LocateConfig
+
+    src = mmt.box_mesh(shape=(3, 3, 3), order=2, warp=0.05)
+    field = mmt.element_nodal_field(src, "smooth")
+    pts = rng.uniform(0.1, 0.9, size=(200, 3))
+    cfg = LocateConfig(df32_polish=True)
+    op = TransferOperator.build(src.points, pts, order=2, cfg=cfg,
+                                engine="pallas")
+    if op.refs_lo is None:
+        pytest.skip("df32 polish inactive on this platform")
+    vals = np.asarray(op.apply(field))
+    op.save(tmp_path / "df32")
+    assert (tmp_path / "df32" / "refs_lo.npy").exists()
+    op2 = TransferOperator.load(tmp_path / "df32")
+    assert op2.refs_lo is not None
+    np.testing.assert_allclose(np.asarray(op2.apply(field)), vals,
+                               rtol=1e-12, atol=1e-14)
 
 
 def test_transfer_operator_dedup_recon(rng):
