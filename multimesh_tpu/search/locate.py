@@ -344,12 +344,14 @@ def _pallas_invert_rows(p_hi, p_lo, ids, nodes_flat32, centering, order,
     jax.jit,
     static_argnames=("order", "cfg", "fallback", "use_aabb", "interpret",
                      "want_weights", "rescue_mode", "bucket_knn",
-                     "n_valid"),
+                     "n_valid", "engine", "dtype"),
 )
 def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
                   centering, aabb, grid_data, nodes_lo, bucket_search,
+                  elem_nodes,
                   order, cfg, fallback, use_aabb, interpret, want_weights,
-                  rescue_mode, bucket_knn=False, n_valid=None):
+                  rescue_mode, bucket_knn=False, n_valid=None,
+                  engine="pallas", dtype=jnp.float32):
     """Escalation-ladder point location (device-only, one jit).
 
     Round 1 runs the full-order Newton on every point's NEAREST candidate
@@ -362,39 +364,69 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
     rescue capacity are reported in the ``needs_retry`` output and
     re-run by ``locate`` through the exhaustive scan, so no interior
     point ever silently degrades to a sentinel/snap fallback.
+
+    ``engine`` selects the row-batched Newton backend: "pallas" (the
+    fused Mosaic kernel over split-f32 centered geometry; TPU) or "xla"
+    (shape.inverse_map einsums over the raw lattice, full precision;
+    the CPU/virtual-mesh twin -- same ladder structure, so the sharded
+    programs run one code path everywhere).  On "xla" the carried point
+    rows are (points, zeros) rather than a split-f32 pair.
     """
     C, d = points.shape
     K = cand.shape[1]
     iters = cfg.newton_iters + cfg.polish_iters
-    # split-f32 point coordinates, computed once: every per-round op
-    # below is pure f32 (f64 is emulated on TPU)
-    pts_hi = points.astype(jnp.float32)
-    pts_lo = (points - pts_hi.astype(points.dtype)).astype(jnp.float32)
+    if engine == "pallas":
+        # split-f32 point coordinates, computed once: every per-round op
+        # below is pure f32 (f64 is emulated on TPU)
+        pts_hi = points.astype(jnp.float32)
+        pts_lo = (points - pts_hi.astype(points.dtype)).astype(
+            jnp.float32
+        )
+    else:
+        pts_hi = points
+        pts_lo = jnp.zeros_like(points)
 
     def eval_rows(hi_rows, lo_rows, ids):
-        ref, conv, maxabs = _pallas_invert_rows(
-            hi_rows, lo_rows, ids, nodes_flat32, centering, order, d,
-            iters, cfg.newton_clamp, interpret,
-        )
+        if engine == "pallas":
+            ref, conv, maxabs = _pallas_invert_rows(
+                hi_rows, lo_rows, ids, nodes_flat32, centering, order, d,
+                iters, cfg.newton_clamp, interpret,
+            )
+        else:
+            nodes = elem_nodes[ids]
+            ref, conv = shape.inverse_map(
+                nodes, hi_rows, order=order, cfg=cfg, dtype=dtype
+            )
+            maxabs = jnp.max(jnp.abs(ref), axis=-1)
         valid = conv
         if use_aabb:
             blo, bhi = aabb
-            blo32 = blo.astype(jnp.float32)[ids]
-            bhi32 = bhi.astype(jnp.float32)[ids]
-            # f32-appropriate slack: span-relative alone is NOT enough
-            # for Earth-scale coordinates (a 6.4e6 m coordinate rounds
-            # by ~0.4 m in f32, but 1e-6 of a 1 km element span is only
-            # 1 mm), so add a few ulps of the coordinate magnitude --
-            # face points must never be excluded by rounding
-            # (accept_tol has far more slack than this anyway)
-            eps = (
-                1e-6 * (bhi32 - blo32)
-                + 4e-7 * jnp.maximum(jnp.abs(blo32), jnp.abs(bhi32))
-            )
-            inside = jnp.all(
-                (hi_rows >= blo32 - eps) & (hi_rows <= bhi32 + eps),
-                axis=-1,
-            )
+            if engine == "pallas":
+                blo32 = blo.astype(jnp.float32)[ids]
+                bhi32 = bhi.astype(jnp.float32)[ids]
+                # f32-appropriate slack: span-relative alone is NOT
+                # enough for Earth-scale coordinates (a 6.4e6 m
+                # coordinate rounds by ~0.4 m in f32, but 1e-6 of a 1 km
+                # element span is only 1 mm), so add a few ulps of the
+                # coordinate magnitude -- face points must never be
+                # excluded by rounding (accept_tol has far more slack
+                # than this anyway)
+                eps = (
+                    1e-6 * (bhi32 - blo32)
+                    + 4e-7 * jnp.maximum(jnp.abs(blo32), jnp.abs(bhi32))
+                )
+                inside = jnp.all(
+                    (hi_rows >= blo32 - eps) & (hi_rows <= bhi32 + eps),
+                    axis=-1,
+                )
+            else:
+                span = bhi[ids] - blo[ids]
+                eps = 1e-9 * span
+                inside = jnp.all(
+                    (hi_rows >= blo[ids] - eps)
+                    & (hi_rows <= bhi[ids] + eps),
+                    axis=-1,
+                )
             accepted = valid & inside & (maxabs < cfg.accept_tol)
         else:
             accepted = valid & (maxabs < cfg.accept_tol)
@@ -609,8 +641,9 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
     # 2 Newton iterations at f64 on the split-f32-reconstructed geometry,
     # warm-started from the f32 ladder refs: quadratic convergence takes
     # ~1e-7 straight below 1e-12.  Refs/weights then stay f64.
-    w_dt = jnp.float32
-    if cfg.f64_polish:
+    # (pallas only: the xla backend already carries full precision.)
+    w_dt = jnp.float32 if engine == "pallas" else ref.dtype
+    if cfg.f64_polish and engine == "pallas":
         from ..core.shape import _newton_iterations
 
         w_dt = jnp.float64
@@ -671,10 +704,30 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
                          jnp.where(ok[:, None], best_ref, 0.0))
         found = acc | ok
         weights = make_weights(refs, found)
+    elif fallback == "fixed_ref":
+        # Reference _check_if_inside_element semantics
+        # (interpolator.py:1448-1473) need per-candidate AABB/center
+        # state the ladder does not carry; the ladder serves ACCEPTED
+        # rows only and reports every unaccepted row in needs_retry --
+        # locate() re-runs exactly those through the exhaustive scan
+        # (which tracks the in-AABB / nearest-center fallback state), so
+        # these placeholder values never survive to the caller.
+        fixed = jnp.asarray(FALLBACK_REF_COORD[:d], ref.dtype)
+        elements = jnp.where(acc, elem, best_elem)
+        refs = jnp.where(acc[:, None], ref, fixed[None, :])
+        found = jnp.ones((C,), bool)
+        weights = make_weights(refs)
     else:
         raise ValueError(
             f"ladder does not support fallback mode {fallback!r}"
         )
+    if fallback == "fixed_ref":
+        # every unaccepted row needs the scan's fallback-state tracking,
+        # full location opportunity or not
+        needs_retry = ~acc
+        if n_valid is not None and n_valid < C:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+            needs_retry = needs_retry & (rows < n_valid)
     if weights is None:
         weights = jnp.zeros((C, 0), w_dt)
     return (elements.astype(jnp.int32), refs.astype(w_dt),
@@ -930,9 +983,12 @@ def locate(
     nearest candidate plus compacted rescue rounds, ~4x faster than the
     sequential candidate scan with identical accept semantics for every
     rescued point.  "auto" selects it whenever the pallas engine is
-    active and the fallback mode is one the ladder implements
-    ("fixed_ref" keeps the scan, which tracks the extra AABB/nearest
-    state that mode needs).
+    active.  In "fixed_ref" mode the ladder serves accepted rows and
+    delegates every unaccepted row to the exhaustive-scan retry (which
+    tracks the per-candidate AABB/nearest-center state the reference's
+    fallback choice needs, interpolator.py:1448-1473), so the flagship
+    fixed_ref entry points get ladder speed on their interior bulk with
+    scan-exact fallback semantics.
     """
     points = jnp.asarray(points)
     # elem_nodes stays in its caller-provided form (numpy or device):
@@ -975,22 +1031,37 @@ def locate(
             else elem_nodes.dtype
         )
 
+    # the ladder is the default on the pallas (TPU) engine; on xla it is
+    # opt-in via strategy="ladder" (same ladder structure, inverse_map
+    # rows backend -- the sharded programs use it so virtual-CPU meshes
+    # execute the production code path)
     use_ladder = (
-        strategy in ("auto", "ladder")
-        and engine == "pallas"
-        and fallback in ("sentinel", "snap", "best")
+        fallback in ("sentinel", "snap", "best", "fixed_ref")
+        and ((strategy == "auto" and engine == "pallas")
+             or strategy == "ladder")
     )
     if strategy == "ladder" and not use_ladder:
         raise ValueError(
-            "strategy='ladder' requires the pallas engine and a "
-            "sentinel/snap/best fallback mode"
+            f"strategy='ladder' does not support fallback {fallback!r}"
         )
 
     from ..utils_profile import stage_timer as _stage_timer
 
     use_df32_polish = (
-        cfg.df32_polish and use_ladder and not cfg.f64_polish
+        cfg.df32_polish and use_ladder and engine == "pallas"
+        and not cfg.f64_polish
     )
+    if cfg.df32_polish and not use_df32_polish and not cfg.f64_polish:
+        import warnings
+
+        warnings.warn(
+            "df32_polish was requested but the pallas ladder engine is "
+            f"not active (engine={engine!r}, strategy={strategy!r}, "
+            f"fallback={fallback!r}); the pair-precision polish only "
+            "runs on the TPU ladder path. On the xla/CPU engine use "
+            "LocateConfig(f64_polish=True) or Precision.F64 instead.",
+            stacklevel=2,
+        )
     with _stage_timer("locate.prep"):
         prep = _mesh_prep(
             elem_nodes, order, d, engine,
@@ -1142,6 +1213,10 @@ def locate(
         if engine == "xla" and default_engine() == "pallas"
         else None
     )
+    if scan_row_cap is not None and use_ladder:
+        # the xla-backend ladder feeds the same raw-f64 gather+Newton
+        # program, so its chunks obey the same cap
+        chunk = min(chunk, scan_row_cap)
 
     def run_scan_chunk(pts_c, cand_c, pm):
         n = pts_c.shape[0]
@@ -1191,8 +1266,10 @@ def locate(
             out = _ladder_chunk(
                 pts_c, cand_c, centroids, nodes_c32, nodes_flat32,
                 centering, (lo, hi), grid_data, nodes_lo, bucket_search,
+                elem_nodes_dev,
                 order, cfg, fallback, use_aabb, interpret, want_weights,
                 rescue_mode, bucket_knn=bucket_knn, n_valid=n,
+                engine=engine, dtype=dtype,
             )
             return tuple(o[:n] for o in out)
         out = run_scan_chunk(pts_c, cand_c, pm)

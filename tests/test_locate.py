@@ -304,8 +304,82 @@ def test_locate_ladder_strategy_validation():
     mesh = mmt.box_mesh(shape=(2, 2, 2), order=1)
     pts = np.full((8, 3), 0.5)
     with pytest.raises(ValueError):
-        locate(pts, mesh.points, order=1, fallback="fixed_ref",
-               engine="pallas", strategy="ladder")
+        locate(pts, mesh.points, order=1, fallback="nope",
+               engine="xla", strategy="ladder")
+
+
+@pytest.mark.parametrize("fallback", ["sentinel", "snap", "fixed_ref"])
+def test_locate_ladder_xla_engine_matches_scan(rng, fallback):
+    """The ladder's xla rows backend (strategy='ladder', engine='xla'):
+    same escalation-ladder structure as the pallas path, inverse_map
+    einsums instead of the Mosaic kernel -- the sharded programs run it
+    on CPU/virtual meshes.  Values must match the xla scan."""
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    n = 300
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    pts[: n // 10] *= 1.5  # exterior rows exercise fallback paths
+    cfg = LocateConfig(accept_tol=1.04)
+    kw = dict(order=2, cfg=cfg, fallback=fallback,
+              use_aabb=fallback == "fixed_ref", engine="xla")
+    scan = locate(pts, mesh.points, strategy="scan", **kw)
+    lad = locate(pts, mesh.points, strategy="ladder", **kw)
+    np.testing.assert_array_equal(
+        np.asarray(scan.found), np.asarray(lad.found)
+    )
+    both = np.asarray(scan.found)
+    vs = _interp(scan, field)[both]
+    vl = _interp(lad, field)[both]
+    np.testing.assert_allclose(vl, vs, rtol=5e-5)
+    same = np.asarray(scan.elements) == np.asarray(lad.elements)
+    assert same[both].mean() > 0.9
+
+
+def test_locate_ladder_fixed_ref_matches_scan(rng):
+    """fixed_ref through the ladder: accepted rows get ladder speed,
+    every unaccepted row is delegated to the exhaustive scan (which
+    carries the reference's AABB-containment / nearest-center fallback
+    state, interpolator.py:1448-1473) -- results must match the pure
+    scan, including exterior points taking the fixed interior ref."""
+    mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    n = 160
+    r = rng.uniform(3.6e6, 6.2e6, n)
+    th = rng.uniform(0.55, 1.15, n)
+    ph = rng.uniform(0.35, 1.35, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    pts[: n // 6] *= 1.5  # exterior points exercise the delegation
+    cfg = LocateConfig(accept_tol=1.04)
+    scan = locate(pts, mesh.points, order=2, cfg=cfg,
+                  fallback="fixed_ref", use_aabb=True,
+                  engine="pallas", strategy="scan")
+    lad = locate(pts, mesh.points, order=2, cfg=cfg,
+                 fallback="fixed_ref", use_aabb=True,
+                 engine="pallas", strategy="ladder")
+    assert np.asarray(lad.found).all()
+    # unaccepted rows come from the same exhaustive scan: elements and
+    # refs must agree exactly there; accepted rows may differ at
+    # shared-face tie-break level, so compare values
+    np.testing.assert_allclose(
+        _interp(lad, field), _interp(scan, field), rtol=5e-5
+    )
+    same = np.asarray(scan.elements) == np.asarray(lad.elements)
+    assert same.mean() > 0.95
+    # exterior rows carry the fixed interior ref coordinate in both
+    ext_fixed = np.all(
+        np.abs(np.asarray(lad.refs)[: n // 6]
+               - np.asarray([0.645, -0.5, 0.22])) < 1e-6, axis=1)
+    ext_fixed_scan = np.all(
+        np.abs(np.asarray(scan.refs)[: n // 6]
+               - np.asarray([0.645, -0.5, 0.22])) < 1e-6, axis=1)
+    np.testing.assert_array_equal(ext_fixed, ext_fixed_scan)
 
 
 def test_locate_f64_polish_refs(rng):
