@@ -106,18 +106,49 @@ def sharded_transfer(
     mesh: Mesh | None = None,
     axis: str = "points",
     engine: str = "auto",
+    strategy: str = "auto",
+    chunk: int = 262_144,
+    device_out: bool = False,
 ):
     """Locate + interpolate with query points sharded across the mesh.
 
     points [N, d]; elem_nodes [E, (p+1)^d, d]; fields [F, E, (p+1)^d].
     Returns values [N, F] (gathered back to host order).  Semantics match
-    search.locate with the same cfg/fallback (full candidate scan; the
-    trilinear prefilter's host-side rescue pass is a single-chip
-    optimization and is skipped here).  ``engine`` selects the per-shard
-    Newton backend exactly as in search.locate ("pallas" runs the fused
-    kernel on every chip; interpret mode on CPU meshes).
+    search.locate with the same cfg/fallback.
+
+    ``strategy`` mirrors ``search.locate``: "auto"/"ladder" runs the
+    PRODUCTION escalation-ladder engine inside every shard -- the same
+    round-1 nearest-candidate + compacted-rescue + grid-index program the
+    single-chip path runs (nearest-centroid or balanced-bin candidates,
+    host-level chunking so per-shard temporaries stay bounded at any N,
+    and the exhaustive-scan retry for rows the ladder cannot serve) --
+    with the Newton backend picked by ``engine`` exactly as in
+    search.locate ("pallas" = the fused Mosaic kernel per chip, "xla" =
+    the inverse_map rows twin, which is what a virtual CPU mesh runs).
+    "scan" keeps the sequential candidate-scan shard program (one
+    unchunked pass; comparison/debug path).
+
+    ``points`` may be a device array (consumed in place -- blocks are
+    sliced and resharded on device with no host bounce).
+    ``device_out=True`` returns the values as a device array instead of
+    pulling them to the host -- the right mode for device-resident
+    pipelines (and for benchmarking the compute path rather than the
+    host link).
     """
     from ..search.locate import default_engine
+
+    use_ladder = strategy in ("auto", "ladder")
+    if strategy not in ("auto", "ladder", "scan"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if use_ladder:
+        return _sharded_transfer_ladder(
+            points, elem_nodes, fields, order, cfg,
+            fallback=fallback, use_aabb=use_aabb, mesh=mesh, axis=axis,
+            engine=engine, chunk=chunk, device_out=device_out,
+        )
+    if device_out:
+        raise ValueError("device_out requires the ladder strategy")
+
     from ..search import pallas_newton as pn
 
     if mesh is None:
@@ -185,6 +216,291 @@ def sharded_transfer(
     )
     vals = np.asarray(vals)
     return vals[:N] if pad else vals
+
+
+@functools.lru_cache(maxsize=8)
+def _ladder_step(mesh, axis, cand_mode, rescue_mode, bucket_knn, k, C,
+                 apply_chunk, order, cfg, fallback, use_aabb, interpret,
+                 engine, dtype):
+    """The jitted shard_map step of the ladder sharded program, cached by
+    its static configuration: repeated transfers against the same mesh
+    topology reuse one compiled executable instead of re-tracing a fresh
+    closure per call."""
+    from ..search.locate import _ladder_chunk
+    from ..search.grid import _nearest_member_jit
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis),) + (P(),) * 21,
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+    )
+    def _step(pts, nflat, c0, c1, c2, nc32, nlo0, nlo1, elem_nodes_x,
+              cents_x, cc32, bs_ctr, lo_, hi_, g0, g1, g2, g3,
+              b0, b1, b2, flds):
+        if cand_mode == "grid":
+            cand = _nearest_member_jit(g0, g2, g3, g1, pts, 4)[
+                :, None
+            ].astype(jnp.int32)
+        else:
+            q32 = (pts - bs_ctr).astype(jnp.float32)
+            neg = (
+                2.0 * (q32 @ cc32.T)
+                - jnp.sum(cc32 * cc32, axis=-1)[None, :]
+            )
+            if cand_mode == "near1":
+                cand = jnp.argmax(neg, axis=1)[:, None].astype(jnp.int32)
+            else:
+                _, cand = jax.lax.top_k(neg, k)
+                cand = cand.astype(jnp.int32)
+        el, refs, _w, found, _acc, needs_retry = _ladder_chunk(
+            pts, cand, cents_x, nc32, nflat, (c0, c1, c2),
+            (lo_, hi_), (g0, g1, g2, g3), (nlo0, nlo1), (b0, b1, b2),
+            elem_nodes_x,
+            order, cfg, fallback, use_aabb, interpret, False,
+            rescue_mode, bucket_knn=bucket_knn, n_valid=None,
+            engine=engine, dtype=dtype,
+        )
+        safe = jnp.maximum(el, 0)
+        vals = []
+        for s in range(0, C, apply_chunk):
+            w = gll.tensor_basis(order, refs[s : s + apply_chunk])
+            g = flds[:, safe[s : s + apply_chunk], :].astype(w.dtype)
+            vals.append(jnp.einsum("fnk,nk->nf", g, w))
+        vals = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
+        vals = jnp.where((found & (el >= 0))[:, None], vals, 0.0)
+        return vals, found, needs_retry
+
+    return _step
+
+
+def _sharded_transfer_ladder(
+    points, elem_nodes, fields, order, cfg, *,
+    fallback, use_aabb, mesh, axis, engine, chunk,
+    device_out: bool = False,
+):
+    """The production sharded program: every shard runs the SAME
+    escalation-ladder engine as single-chip ``search.locate`` (round-1
+    nearest candidate from the nearest-centroid argmax / balanced-bin
+    index, compacted rescue rounds, in-jit re-probe), the apply is
+    chunked so the [F, c, n] field gather stays bounded at any N, and
+    rows the ladder cannot serve (crowded out of the rescue buckets, or
+    fixed_ref rows needing the scan's AABB/nearest-center state) are
+    re-run through the exhaustive scan on the host side -- identical
+    degradation semantics to the single-chip path.
+
+    Host-level chunking: each dispatch covers ``n_dev * chunk`` points
+    (one ``chunk``-row ladder program per shard), so per-shard HBM holds
+    the replicated source (nodes + fields) plus one bounded chunk of
+    temporaries -- the north-star 12.5M-points-per-shard workload runs
+    as ~48 pipelined dispatches instead of one 19 GB gather."""
+    import warnings
+
+    from ..config import Precision
+    from ..search.locate import (
+        _ladder_chunk, _mesh_prep, default_engine, locate,
+    )
+    from ..search.grid import APPROX_GRID_MIN_SOURCES, get_grid_index, \
+        _nearest_member_jit
+    from ..search import pallas_newton as pn
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    else:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if engine == "auto":
+        engine = default_engine()
+    interpret = False
+    if engine == "pallas":
+        try:
+            interpret = jax.devices()[0].platform == "cpu"
+        except Exception:
+            interpret = True
+    if cfg.df32_polish:
+        warnings.warn(
+            "df32_polish is not applied by sharded_transfer (the sharded "
+            "apply consumes f32 refs); use f64_polish or the single-chip "
+            "TransferOperator path for pair-precision values",
+            stacklevel=3,
+        )
+
+    # device-resident query points are consumed in place (blocks are
+    # sliced and resharded on device -- no device->host->device bounce);
+    # host arrays are uploaded block by block, overlapping compute
+    is_dev = isinstance(points, jax.Array) and not isinstance(
+        points, np.ndarray
+    )
+    pts_src = points if is_dev else np.asarray(points)
+    N, d = pts_src.shape
+    host_nodes = np.asarray(elem_nodes)
+    E = host_nodes.shape[0]
+    host_fields = np.asarray(fields)
+    F = host_fields.shape[0]
+    if N == 0:
+        out = np.zeros((0, F))
+        return jnp.asarray(out) if device_out else out
+
+    if engine == "xla" and default_engine() == "pallas":
+        chunk = min(chunk, 32_768)  # XLA:TPU f64 batch cap (see locate)
+    if engine == "pallas":
+        chunk = int(np.ceil(chunk / pn.BLOCK) * pn.BLOCK)
+    C = chunk
+    apply_chunk = min(C, 65_536)
+
+    want_lo = engine == "pallas" and cfg.f64_polish
+    prep = _mesh_prep(host_nodes, order, d, engine, want_lo=want_lo)
+
+    repl = NamedSharding(mesh, P())
+    pts_sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), repl)
+
+    z1 = put(jnp.zeros((1,), jnp.float32))
+    zb = (put(jnp.zeros((1, d), jnp.float32)),
+          put(jnp.zeros((1,), jnp.int32)), z1)
+    cents_np = np.asarray(prep["centroids"])
+
+    k = min(cfg.nelem_to_search, E)
+    if E > APPROX_GRID_MIN_SOURCES:
+        # balanced-bin round-1 candidate + in-jit grid re-probe rescue
+        cand_mode, rescue_mode, bucket_knn = "grid", "grid", True
+        gi = get_grid_index(cents_np)
+        grid_data = (put(gi.bin_reps32), put(gi.center),
+                     put(gi.bin_elems), put(gi.bin_coords6))
+        bucket_search = zb
+        cents_c32 = z1
+        cents_dev = z1  # rescue "grid" never reads raw centroids
+    elif E > 64:
+        # nearest-centroid round 1 + in-jit approx top-8 bucket rescue
+        cand_mode, rescue_mode, bucket_knn = "near1", "exact", True
+        bs_center_np = cents_np.mean(axis=0)
+        perm = np.random.default_rng(0xC0FFEE).permutation(E).astype(
+            np.int32
+        )
+        bucket_search = (
+            put((cents_np[perm] - bs_center_np).astype(np.float32)),
+            put(perm),
+            put(bs_center_np),
+        )
+        cents_c32 = put((cents_np - bs_center_np).astype(np.float32))
+        grid_data = (z1, z1, z1, z1)
+        cents_dev = put(cents_np)
+    else:
+        # tiny sources: full in-shard top-k candidates
+        cand_mode, rescue_mode, bucket_knn = "topk", "exact", False
+        bs_center_np = cents_np.mean(axis=0)
+        bucket_search = zb
+        cents_c32 = put((cents_np - bs_center_np).astype(np.float32))
+        grid_data = (z1, z1, z1, z1)
+        cents_dev = put(cents_np)
+    bs_center = put(
+        bs_center_np if cand_mode in ("near1", "topk")
+        else np.zeros((d,))
+    )
+
+    if engine == "pallas":
+        nodes_flat32 = put(prep["nodes_flat32"])
+        centering = tuple(put(c) for c in prep["centering"])
+        elem_x = put(jnp.zeros((1, 1, d), jnp.float32))
+        nodes_c32_r = put(prep["nodes_c32"]) if want_lo else z1
+        nodes_lo = (
+            (put(prep["nodes_lo_c32"]), put(prep["inv_scale_lo"]))
+            if want_lo else (z1, z1)
+        )
+    else:
+        nodes_flat32 = z1
+        centering = (z1, z1, z1)
+        elem_x = put(host_nodes)
+        nodes_c32_r = z1
+        nodes_lo = (z1, z1)
+    lo_dev, hi_dev = put(prep["lo"]), put(prep["hi"])
+    flds_dev = put(host_fields.astype(np.float32))
+    dtype = (
+        jnp.float32
+        if cfg.precision in (Precision.MIXED, Precision.F32)
+        else jnp.float64
+    )
+
+    _step = _ladder_step(
+        mesh, axis, cand_mode, rescue_mode, bucket_knn, k, C,
+        apply_chunk, order, cfg, fallback, use_aabb, interpret, engine,
+        dtype,
+    )
+
+    repl_args = (nodes_flat32, *centering, nodes_c32_r, *nodes_lo,
+                 elem_x, cents_dev, cents_c32, bs_center,
+                 lo_dev, hi_dev, *grid_data, *bucket_search, flds_dev)
+
+    G = n_dev * C
+    retry_mask = np.zeros((N,), bool)
+    pend = []
+    for start in range(0, N, G):
+        blk = pts_src[start : start + G]
+        nb = blk.shape[0]
+        if nb < G:
+            if is_dev:
+                blk = jnp.concatenate(
+                    [blk, jnp.tile(blk[:1], (G - nb, 1))]
+                )
+            else:
+                blk = np.concatenate(
+                    [blk, np.tile(blk[:1], (G - nb, 1))]
+                )
+        blk_dev = jax.device_put(jnp.asarray(blk), pts_sharding)
+        # dispatch is async: all blocks enter the pipeline before any
+        # result is pulled, so device compute overlaps the host loop
+        pend.append((start, nb) + tuple(_step(blk_dev, *repl_args)))
+    if device_out:
+        vals_dev = jnp.concatenate(
+            [v if nb == G else v[:nb] for _, nb, v, f, r in pend]
+        )
+    else:
+        out_vals = np.zeros((N, F))
+    for start, nb, v, f, r in pend:
+        if not device_out:
+            out_vals[start : start + nb] = np.asarray(v)[:nb]
+        retry_mask[start : start + nb] = np.asarray(r)[:nb]
+
+    rows = np.where(retry_mask)[0]
+    pts_r = np.asarray(pts_src[rows]) if rows.size else None
+    if rows.size and fallback == "sentinel":
+        # exterior points can never accept: their sentinel result is
+        # already exact, so exclude them from the scan retry (same halo
+        # arithmetic as locate's sentinel fast path; global bounds come
+        # from tiny device reductions, not a host sweep of the lattice)
+        glo = np.asarray(jnp.min(prep["lo"], axis=0))
+        ghi = np.asarray(jnp.max(prep["hi"], axis=0))
+        elem_ext = np.asarray(jnp.max(prep["hi"] - prep["lo"], axis=0))
+        eps = (cfg.accept_tol - 1.0) * elem_ext + 1e-5 * (ghi - glo)
+        inside = np.all(
+            (pts_r >= glo - eps) & (pts_r <= ghi + eps), axis=1
+        )
+        rows, pts_r = rows[inside], pts_r[inside]
+    if rows.size:
+        res = locate(
+            pts_r, host_nodes, order, cfg, fallback=fallback,
+            use_aabb=use_aabb, engine=engine, strategy="scan",
+        )
+        r_el = np.asarray(res.elements)
+        r_f = np.asarray(res.found)
+        keep = jnp.asarray(r_f & (r_el >= 0))
+        if device_out:
+            g = flds_dev[:, jnp.maximum(res.elements, 0), :].astype(
+                res.weights.dtype
+            )
+            v_d = jnp.einsum("fnk,nk->nf", g, res.weights)
+            v_d = jnp.where(keep[:, None], v_d, 0.0)
+            vals_dev = vals_dev.at[jnp.asarray(rows)].set(
+                v_d.astype(vals_dev.dtype)
+            )
+        else:
+            r_w = np.asarray(res.weights)
+            g = host_fields[:, np.maximum(r_el, 0), :].astype(r_w.dtype)
+            v = np.einsum("fnk,nk->nf", g, r_w)
+            v[~np.asarray(keep)] = 0.0
+            out_vals[rows] = v
+    return vals_dev if device_out else out_vals
 
 
 # ---------------------------------------------------------------------------
