@@ -178,23 +178,30 @@ def gll_2_gll(
     (elements.npy / coeffs.npy), and fluid/solid contamination is repaired
     unless ``gradient``.
     """
-    src_points, src_data, src_params = sio.load_hdf5_params(
-        from_gll, from_model_path, from_coordinates_path
-    )
+    from .utils_profile import stage_timer
+
+    with stage_timer("g2g.read_source"):
+        src_points, src_data, src_params = sio.load_hdf5_params(
+            from_gll, from_model_path, from_coordinates_path
+        )
     dim = src_points.shape[2]
     order = int(round(src_data.shape[2] ** (1.0 / dim))) - 1
     parameters = src_params  # reference behavior: transfer all source params
 
     with h5py.File(str(to_gll), "r+") as new:
-        new_points = np.asarray(new[to_coordinates_path][()], np.float64)
-        gll_points = new_points.shape[1]
-        elem_params = sio.read_dim_labels(new["MODEL/element_data"])
-        fluid_idx = elem_params.index("fluid")
-        fluid = new["MODEL/element_data"][:, fluid_idx].astype(bool)
-        solid = ~fluid
-        old_values = np.asarray(new[to_model_path][()])
+        with stage_timer("g2g.read_target"):
+            new_points = np.asarray(
+                new[to_coordinates_path][()], np.float64
+            )
+            gll_points = new_points.shape[1]
+            elem_params = sio.read_dim_labels(new["MODEL/element_data"])
+            fluid_idx = elem_params.index("fluid")
+            fluid = new["MODEL/element_data"][:, fluid_idx].astype(bool)
+            solid = ~fluid
+            old_values = np.asarray(new[to_model_path][()])
 
-        uniq, recon = unique_points(new_points)
+        with stage_timer("g2g.dedup"):
+            uniq, recon = unique_points(new_points)
 
         op = None
         # the geometry fingerprint guards the on-disk operator cache;
@@ -221,7 +228,9 @@ def gll_2_gll(
                 op.save(stored_array, fingerprint=fp)
 
         fields = np.moveaxis(src_data, 1, 0)  # [P, E, n]
-        vals_u = op.apply(fields)  # [U, P] (device array)
+        with stage_timer("g2g.apply") as t:
+            vals_u = op.apply(fields)  # [U, P] (device array)
+            t.sync(vals_u)
         # NaN audit as a device-side reduce (np.isnan on the device array
         # would pull the full [U, P] result over the slow host link just
         # to check it, then the write-back below would pull it again)
@@ -231,19 +240,21 @@ def gll_2_gll(
             raise FloatingPointError(
                 "interpolation produced NaNs; check source mesh/fields"
             )
-        values = np.asarray(
-            jnp.asarray(vals_u)[np.asarray(recon, np.int32)]
-            .reshape(new_points.shape[0], gll_points, len(parameters))
-            .swapaxes(1, 2)
-        )  # [E, P, n] -- reconstruction + relayout on device, ONE pull
+        with stage_timer("g2g.pull_result"):
+            values = np.asarray(
+                jnp.asarray(vals_u)[np.asarray(recon, np.int32)]
+                .reshape(new_points.shape[0], gll_points, len(parameters))
+                .swapaxes(1, 2)
+            )  # [E, P, n] -- reconstruction + relayout on device, ONE pull
 
         if not gradient:
             values = repair_fluid_solid(values, old_values, solid, parameters)
 
-        sio.recreate_dataset(
-            new, parameters, to_model_path, to_coordinates_path
-        )
-        new[to_model_path][:, :, :] = values
+        with stage_timer("g2g.write_h5"):
+            sio.recreate_dataset(
+                new, parameters, to_model_path, to_coordinates_path
+            )
+            new[to_model_path][:, :, :] = values
     return values
 
 
