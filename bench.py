@@ -530,7 +530,6 @@ def bench_gll_file():
     ``api.gll_2_gll`` (HDF5 read -> dedup -> fixed_ref ladder locate ->
     apply -> fluid/solid repair -> HDF5 write), with the per-stage
     breakdown in the output JSON (VERDICT r3 item 3)."""
-    os.environ.setdefault("MMT_PROFILE", "1")
     import h5py
     from multimesh_tpu import testing as mmt
     from multimesh_tpu import api
@@ -579,14 +578,24 @@ def bench_gll_file():
     with tempfile.TemporaryDirectory() as td:
         f_tgt = _restore(f_tgt0, os.path.join(td, "tgt.h5"))
         api.gll_2_gll(f_src, f_tgt)  # warmup / compile
+        # timed run: CLEAN (no stage timers -- their device-complete
+        # syncs serialize the stages and inflate the wall time)
         f_tgt = _restore(f_tgt0, f_tgt)
-        reset_stages()
         t0 = time.time()
         api.gll_2_gll(f_src, f_tgt)
         dt = time.time() - t0
-        stages = {k: round(v, 3) for k, v in stage_totals().items()}
         with h5py.File(f_tgt, "r") as h5:
             got = np.asarray(h5["MODEL/data"][:, 0, :])
+        # separate profiled pass for the stage breakdown (per-stage sums
+        # exceed the clean wall time exactly where stages overlap)
+        f_tgt = _restore(f_tgt0, f_tgt)
+        os.environ["MMT_PROFILE"] = "1"
+        try:
+            reset_stages()
+            api.gll_2_gll(f_src, f_tgt)
+            stages = {k: round(v, 3) for k, v in stage_totals().items()}
+        finally:
+            del os.environ["MMT_PROFILE"]
     truth = mmt.smooth_field(tgt.points.reshape(-1, 3)).reshape(
         tgt.nelem, n_gll
     )

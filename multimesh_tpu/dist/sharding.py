@@ -559,6 +559,8 @@ def source_sharded_transfer(
     engine: str = "auto",
     retry_frac: int = 4,
     fallback: str = "sentinel",
+    chunk: int = 262_144,
+    strategy: str = "auto",
 ):
     """Locate + interpolate with SOURCE ELEMENTS sharded across the mesh
     (for sources too large to replicate per chip).
@@ -584,10 +586,17 @@ def source_sharded_transfer(
     per-point winner (min max|ref| across chips, computed on UNCLIPPED
     refs so scores are comparable) is selected identically on every chip
     from the all_gathered scores.
+
+    ``strategy`` "auto"/"ladder" runs the PRODUCTION escalation ladder
+    inside each shard's local locate (nearest-centroid round 1,
+    compacted rescue rounds, in-jit exhaustive-scan retry bucket), with
+    per-shard points processed in bounded ``chunk``-row blocks
+    (``lax.map``) so a north-star-sized shard cannot OOM; "scan" keeps
+    the sequential candidate-scan (comparison/debug path).
     """
     import dataclasses
 
-    from ..search.locate import default_engine
+    from ..search.locate import _ladder_chunk, default_engine
 
     if fallback not in ("sentinel", "best", "snap"):
         raise ValueError(
@@ -639,16 +648,14 @@ def source_sharded_transfer(
 
     quantum = pn.BLOCK if engine == "pallas" else 8
     Pp = int(np.ceil(max(counts_p.max(), 1) / quantum) * quantum)
+    if engine == "xla" and default_engine() == "pallas":
+        chunk = min(chunk, 32_768)  # XLA:TPU f64 batch cap (see locate)
+    # per-shard points are processed in fixed C_blk-row blocks
+    # (lax.map): per-shard temporaries stay bounded at any point count,
+    # so a north-star-sized shard cannot OOM on one monolithic pass
+    C_blk = int(np.ceil(min(chunk, Pp) / quantum) * quantum)
+    Pp = int(np.ceil(Pp / C_blk) * C_blk)
     B = max(Pp // retry_frac, min(Pp, 64))
-    if engine == "pallas":
-        # pass 2 runs the pallas _locate_chunk on the n_dev*B all_gathered
-        # rows, which must land on the kernel's BLOCK granularity: round B
-        # up to the smallest count whose all-chip total divides BLOCK
-        # (B <= Pp always holds -- Pp is a BLOCK multiple >= this quantum)
-        import math
-
-        bq = pn.BLOCK // math.gcd(pn.BLOCK, n_dev)
-        B = min(int(np.ceil(B / bq) * bq), Pp)
 
     pts_sh = np.zeros((n_dev, Pp, d))
     pts_sh[:] = points[perm_p[0]]  # pad rows: any valid coordinate
@@ -670,15 +677,28 @@ def source_sharded_transfer(
         fields_sh[s, :, : len(ids)] = host_fields[:, ids]
 
     corner_idx = np.asarray(gll.corner_indices(order, d))
+    Fp_pad = pn._rows_feature_pad(order, d) if engine == "pallas" else 1
+    perm_e = jnp.asarray(
+        np.random.default_rng(0xC0FFEE).permutation(Ep).astype(np.int32)
+    )
+    apply_chunk = min(C_blk, 65_536)
+    use_ladder = strategy in ("auto", "ladder")
+    if strategy not in ("auto", "ladder", "scan"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # the ladder path owns its own polish knobs; pair/f64 polish state is
+    # a single-chip TransferOperator concern
+    ladder_cfg = dataclasses.replace(
+        loc_cfg, f64_polish=False, df32_polish=False
+    )
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    def _shard_fn(pts_s, nodes_s, gmap_s, fields_s, counts_s):
+    def _shard_fn(pts_s, nodes_s, gmap_s, fields_s, counts_s, perm_es):
         pts = pts_s[0]          # [P, d]
         nodes = nodes_s[0]      # [Ep, n, d]
         gm = gmap_s[0]          # [Ep]
@@ -697,15 +717,95 @@ def source_sharded_transfer(
         centering, nodes_c32, corners_c32 = _engine_prep(
             engine, nodes, corners, lo, hi
         )
+        if engine == "pallas":
+            nd = nodes_c32.shape[1] * nodes_c32.shape[2]
+            nflat = jnp.concatenate(
+                [nodes_c32.reshape(Ep, nd),
+                 jnp.zeros((Ep, Fp_pad - nd), jnp.float32)], axis=1,
+            )
+        else:
+            nflat = jnp.zeros((1,), jnp.float32)
+        cc32 = (cents - ctr).astype(jnp.float32)
+        cp32 = cc32[perm_es]
+        z1 = jnp.zeros((1,), jnp.float32)
+        grid_z = (z1, z1, z1, z1)
+
+        def values_for(refs, el, found):
+            safe = jnp.maximum(el, 0)
+            if fallback == "snap":
+                # value assembly clips the chosen refs (reference
+                # snap_to_nearest, interpolator.py:1217-1230); accepted
+                # refs lie within +/-1 so clipping is a no-op for them
+                refs = jnp.clip(refs, -cfg.snap_clip, cfg.snap_clip)
+            outs = []
+            for s in range(0, refs.shape[0], apply_chunk):
+                w = gll.tensor_basis(order, refs[s : s + apply_chunk])
+                w = jnp.where(found[s : s + apply_chunk, None], w, 0.0)
+                g = flds[:, safe[s : s + apply_chunk], :].astype(w.dtype)
+                outs.append(jnp.einsum("fnk,nk->nf", g, w))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         def locate_rows(rows):
-            cand = _device_knn(rows - ctr, cents - ctr, k)
-            elements, refs, weights, found, _ = _locate_chunk(
-                rows, cand, nodes, corners, (lo, hi),
-                centering, nodes_c32, corners_c32,
-                order, loc_cfg, jnp.float32, False, "best", 0, engine,
-                interpret,
-            )
+            """One bounded block of the per-shard local locate."""
+            if use_ladder:
+                q32 = (rows - ctr).astype(jnp.float32)
+                neg = (
+                    2.0 * (q32 @ cc32.T)
+                    - jnp.sum(cc32 * cc32, axis=-1)[None, :]
+                )
+                cand = jnp.argmax(neg, axis=1)[:, None].astype(jnp.int32)
+                elements, refs, _w, found, _a, needs_retry = (
+                    _ladder_chunk(
+                        rows, cand, cents, z1, nflat, centering,
+                        (lo, hi), grid_z, (z1, z1),
+                        (cp32, perm_es, ctr), nodes,
+                        order, ladder_cfg, "best", False, interpret,
+                        False, "exact", bucket_knn=True, n_valid=None,
+                        engine=engine, dtype=jnp.float32,
+                    )
+                )
+                # in-jit exhaustive-scan retry of rows the ladder could
+                # not serve (static bucket: retry rows are compacted to
+                # the front; overflow keeps the ladder's best, exactly
+                # the score the cross-chip combine then ranks)
+                from ..search.knn import _knn_jit
+
+                n_rows = rows.shape[0]
+                B2 = max(n_rows // 8, min(n_rows, 128))
+                if engine == "pallas":
+                    # the scan kernel consumes whole BLOCK-row tiles
+                    B2 = min(
+                        int(np.ceil(B2 / pn.BLOCK) * pn.BLOCK), n_rows
+                    )
+                idx_r = jnp.argsort(~needs_retry)[:B2]
+                k_full = min(int(ladder_cfg.nelem_to_search), Ep)
+                _, cand2 = _knn_jit(rows[idx_r], cents, k_full, 4096,
+                                    jnp.float32, True)
+                el2, refs2, _w2, found2, _a2 = _locate_chunk(
+                    rows[idx_r], cand2, nodes, corners, (lo, hi),
+                    centering, nodes_c32, corners_c32,
+                    order, ladder_cfg, jnp.float32, False, "best", 0,
+                    engine, interpret, want_weights=False,
+                )
+                upd = needs_retry[idx_r]
+                elements = elements.at[idx_r].set(
+                    jnp.where(upd, el2, elements[idx_r])
+                )
+                refs = refs.at[idx_r].set(
+                    jnp.where(upd[:, None], refs2.astype(refs.dtype),
+                              refs[idx_r])
+                )
+                found = found.at[idx_r].set(
+                    jnp.where(upd, found2, found[idx_r])
+                )
+            else:
+                cand = _device_knn(rows - ctr, cents - ctr, k)
+                elements, refs, _w, found, _a = _locate_chunk(
+                    rows, cand, nodes, corners, (lo, hi),
+                    centering, nodes_c32, corners_c32,
+                    order, loc_cfg, jnp.float32, False, "best", 0,
+                    engine, interpret, want_weights=False,
+                )
             # max|ref| of the chosen candidate, UNCLIPPED: comparable
             # across chips in every fallback mode
             score = jnp.max(jnp.abs(refs), axis=-1)
@@ -713,21 +813,23 @@ def source_sharded_transfer(
             # padding elements can never really accept, but guard anyway
             score = jnp.where(gm[jnp.maximum(elements, 0)] >= 0,
                               score, jnp.inf)
-            safe = jnp.maximum(elements, 0)
-            if fallback == "snap":
-                # value assembly clips the chosen refs (reference
-                # snap_to_nearest, interpolator.py:1217-1230); accepted
-                # refs lie within +/-1 so clipping is a no-op for them
-                snapped = jnp.clip(refs, -cfg.snap_clip, cfg.snap_clip)
-                weights = jnp.where(
-                    found[:, None], gll.tensor_basis(order, snapped), 0.0
-                )
-            vals = jnp.einsum(
-                "fnk,nk->nf", flds[:, safe, :].astype(weights.dtype),
-                weights,
-            )
+            vals = values_for(refs, elements, found)
             acc = score < cfg.accept_tol
-            return acc, score, gm[safe], vals
+            return acc, score, gm[jnp.maximum(elements, 0)], vals
+
+        def locate_blocked(rows):
+            """locate_rows over fixed C_blk blocks (lax.map bounds the
+            per-shard temporaries at any row count)."""
+            n_rows = rows.shape[0]
+            n_blk = n_rows // C_blk
+            if n_blk <= 1:
+                return locate_rows(rows)
+            outs = jax.lax.map(
+                locate_rows, rows.reshape(n_blk, C_blk, d)
+            )
+            return (outs[0].reshape(n_rows), outs[1].reshape(n_rows),
+                    outs[2].reshape(n_rows),
+                    outs[3].reshape(n_rows, -1))
 
         # the score ceiling for a point to count as assigned at all
         limit = {
@@ -737,7 +839,7 @@ def source_sharded_transfer(
         }[fallback]
 
         # ---- pass 1: local try ---------------------------------------
-        acc1, score1, gel1, vals1 = locate_rows(pts)
+        acc1, score1, gel1, vals1 = locate_blocked(pts)
 
         # ---- pass 2: all_gather the compacted misses ------------------
         order_p = jnp.argsort(acc1)  # False (misses) first, stable
@@ -746,7 +848,18 @@ def source_sharded_transfer(
         all_miss = jax.lax.all_gather(pts[idx], axis)  # [D, B, d]
         DB = all_miss.shape[0] * B
         flat = all_miss.reshape(DB, d)
-        acc2, score2, gel2, vals2 = locate_rows(flat)
+        # pad to the kernel quantum (and to whole C_blk blocks beyond
+        # one block) so every locate_rows call sees tile-aligned rows
+        DBp = int(np.ceil(DB / quantum) * quantum)
+        if DBp > C_blk:
+            DBp = int(np.ceil(DBp / C_blk) * C_blk)
+        if DBp != DB:
+            flat = jnp.concatenate(
+                [flat, jnp.tile(flat[:1], (DBp - DB, 1))]
+            )
+        acc2, score2, gel2, vals2 = locate_blocked(flat)
+        acc2, score2 = acc2[:DB], score2[:DB]
+        gel2, vals2 = gel2[:DB], vals2[:DB]
         g_score = jax.lax.all_gather(score2, axis)  # [D, DB]
         g_vals = jax.lax.all_gather(vals2, axis)    # [D, DB, F]
         winner = jnp.argmin(g_score, axis=0)        # [DB]
@@ -790,6 +903,7 @@ def source_sharded_transfer(
         jax.device_put(gmap, shard0),
         jax.device_put(fields_sh, shard0),
         jax.device_put(counts_p.astype(np.int32), shard0),
+        jax.device_put(perm_e, NamedSharding(mesh, P())),
     )
     vals_sh = np.asarray(vals_sh)
     found_np = np.asarray(found_sh)

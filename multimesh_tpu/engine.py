@@ -242,7 +242,7 @@ def gll_2_gll(
             )
         with stage_timer("g2g.pull_result"):
             values = np.asarray(
-                jnp.asarray(vals_u)[np.asarray(recon, np.int32)]
+                jnp.asarray(vals_u)[jnp.asarray(recon, jnp.int32)]
                 .reshape(new_points.shape[0], gll_points, len(parameters))
                 .swapaxes(1, 2)
             )  # [E, P, n] -- reconstruction + relayout on device, ONE pull

@@ -37,6 +37,19 @@ def unique_points(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return unique, recon
 
 
+# NOTE on a measured dead end: a device-side dedup (jnp.lexsort +
+# neighbor-compare + stable-argsort compaction, exact twin of the host
+# path) was prototyped here to kill the ~8 s host lexsort the 10M-point
+# gll_2_gll pays.  On XLA:TPU (v5e, x64 enabled) it is BOTH ~580x
+# slower (818 s at 1.2M x 3 f64 -- the variadic f64 sort lowers to an
+# emulated comparator over a 42x lane-padded [N, 3] layout) and WRONG
+# (56% of unique rows disagreed with the host result: duplicate rows
+# come out non-adjacent, i.e. the emulated f64 comparator does not
+# order exact duplicates next to each other).  The host lexsort stays;
+# repeated transfers against one target amortize it through the
+# layered interp_info / stored_array caches.
+
+
 def unique_points_per_layer(
     points: np.ndarray, masks: Dict[str, np.ndarray]
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
