@@ -268,7 +268,10 @@ def _ladder_step(mesh, axis, cand_mode, rescue_mode, bucket_knn, k, C,
             vals.append(jnp.einsum("fnk,nk->nf", g, w))
         vals = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
         vals = jnp.where((found & (el >= 0))[:, None], vals, 0.0)
-        return vals, found, needs_retry
+        # per-shard retry COUNT alongside the mask: the host pulls the
+        # 4-byte count first and the [C]-bool mask only when nonzero
+        # (the mask pull costs ~C bytes over a MB/s-slow host link)
+        return vals, needs_retry, jnp.sum(needs_retry)[None]
 
     return _step
 
@@ -447,20 +450,27 @@ def _sharded_transfer_ladder(
                 blk = np.concatenate(
                     [blk, np.tile(blk[:1], (G - nb, 1))]
                 )
-        blk_dev = jax.device_put(jnp.asarray(blk), pts_sharding)
+        if is_dev and n_dev == 1:
+            # already resident on the right (only) device: an explicit
+            # device_put here round-trips the slow host tunnel on this
+            # rig (measured 18x on the 10M bench); jit adapts layouts
+            blk_dev = blk
+        else:
+            blk_dev = jax.device_put(jnp.asarray(blk), pts_sharding)
         # dispatch is async: all blocks enter the pipeline before any
         # result is pulled, so device compute overlaps the host loop
         pend.append((start, nb) + tuple(_step(blk_dev, *repl_args)))
     if device_out:
         vals_dev = jnp.concatenate(
-            [v if nb == G else v[:nb] for _, nb, v, f, r in pend]
+            [v if nb == G else v[:nb] for _, nb, v, r, c in pend]
         )
     else:
         out_vals = np.zeros((N, F))
-    for start, nb, v, f, r in pend:
+    for start, nb, v, r, c in pend:
         if not device_out:
             out_vals[start : start + nb] = np.asarray(v)[:nb]
-        retry_mask[start : start + nb] = np.asarray(r)[:nb]
+        if int(np.asarray(c).sum()):
+            retry_mask[start : start + nb] = np.asarray(r)[:nb]
 
     rows = np.where(retry_mask)[0]
     pts_r = np.asarray(pts_src[rows]) if rows.size else None
