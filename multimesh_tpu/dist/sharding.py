@@ -368,7 +368,7 @@ def _sharded_transfer_ladder(
     if E > APPROX_GRID_MIN_SOURCES:
         # balanced-bin round-1 candidate + in-jit grid re-probe rescue
         cand_mode, rescue_mode, bucket_knn = "grid", "grid", True
-        gi = get_grid_index(cents_np)
+        gi = get_grid_index(cents_np, 64)
         grid_data = (put(gi.bin_reps32), put(gi.center),
                      put(gi.bin_elems), put(gi.bin_coords6))
         bucket_search = zb

@@ -209,7 +209,12 @@ def _nearest_member_jit(bin_reps32, bin_elems, bin_coords6, center,
     the member axis: ``approx_max_k`` picks the ``n_probe`` nearest bins
     (a plain ``lax.top_k`` over [C, n_bins] costs more than the whole
     rest of this kernel -- measured 114 ms vs 50 ms at C=262k/4096 bins)
-    and a single argmin over their members yields the candidate.  Member
+    and a single argmin over their members yields the candidate.
+    Pair with a 64-member-bin index (get_grid_index(..., 64)): the
+    [C, p, d, m] member gather falls off a cliff beyond p*m=256 on v5e
+    (measured 384.6 ms/chunk at p=4/m=128 vs 46.3 ms at p=4/m=64, same
+    top-1 recall; p=2 instead loses enough round-1 recall to swamp the
+    ladder rescue -- end-to-end err 1.5e-3, round 4).  Member
     ranking reads only the hi half of the split-f32 coords: selection
     needs element-size resolution (km), not the survey-grade lo residual
     (sub-meter), and halving the gather bytes is most of stage 2's cost.
@@ -423,14 +428,22 @@ def _fingerprint(sources) -> tuple:
     return fp
 
 
-def get_grid_index(sources) -> GridIndex:
-    """The (cached) balanced-bin index for a source point set."""
-    key = _fingerprint(sources)
+def get_grid_index(sources, target_per_cell: int = 128) -> GridIndex:
+    """The (cached) balanced-bin index for a source point set.
+
+    ``target_per_cell`` sizes the bins and is part of the cache key: the
+    locate ladder's round-1 nearest-member pass uses 64-member bins
+    (the [C, p, d, m] member gather falls off a cliff beyond p*m=256 on
+    v5e -- measured 384.6 ms/chunk at p=4/m=128 vs 46.3 ms at p=4/m=64,
+    identical top-1 recall -- round 4), while the exact/approx top-k
+    routes keep the default 128 (their recall scales with p*m
+    coverage)."""
+    key = (_fingerprint(sources), target_per_cell)
     index = _INDEX_CACHE.get(key)
     if index is None:
         if len(_INDEX_CACHE) > 16:
             _INDEX_CACHE.clear()
-        index = build_grid(sources)
+        index = build_grid(sources, target_per_cell=target_per_cell)
         _INDEX_CACHE[key] = index
     return index
 

@@ -522,12 +522,18 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
 
         gb_reps32, gb_center, gb_elems, gb_coords6 = grid_data
         kk = min(12, gb_elems.shape[0] * gb_elems.shape[1])
+        # probe counts scale inversely with bin size so the MEMBER
+        # coverage (probes x m) stays fixed: accuracy is set by how many
+        # nearby members a rescue round considers, not by the bin
+        # partitioning (measured: halving m without rescaling probes
+        # degraded end-to-end err 7.6e-7 -> 2.6e-4, round 4)
+        p_bkt = max(2, 256 // gb_elems.shape[1])
 
         def bucket_cands(idx):
             q32, q_lo = _cq(points[idx], gb_center)
             _, cand = _gq_core(
                 gb_reps32, gb_elems, gb_coords6, q32, q_lo, kk,
-                n_probe=2, approx=True,
+                n_probe=p_bkt, approx=True,
             )
             return cand
     elif bucket_knn:
@@ -624,9 +630,11 @@ def _ladder_chunk(points, cand, centroids, nodes_c32, nodes_flat32,
         idx = failure_order(state)[:B]
         q32, q_lo = _center_queries(points[idx], g_center)
         k_full = int(cfg.nelem_to_search)
+        # fixed member coverage: 16 probes of 128-member bins == 32 of
+        # 64-member bins (see bucket_cands note above)
         _, cand4 = _grid_query_core(
             bin_reps32, bin_elems, bin_coords6, q32, q_lo, k_full,
-            n_probe=16, approx=False,
+            n_probe=max(16, 2048 // bin_elems.shape[1]), approx=False,
         )
         state = rescue(state, cand4, idx)
         full_op = full_op.at[idx].set(True)
@@ -1124,7 +1132,7 @@ def locate(
                     from .grid import get_grid_index, nearest_member
 
                     cand_c = nearest_member(
-                        get_grid_index(centroids), pts_c
+                        get_grid_index(centroids, 64), pts_c
                     )[:, None]
                 elif use_approx:
                     # 4 probed bins (vs the public default 8) is plenty
@@ -1183,7 +1191,9 @@ def locate(
             # re-probe the balanced-bin index with 4x the bins instead
             # (an exact sweep would scale with E)
             rescue_mode = "grid"
-            gi = get_grid_index(centroids)
+            gi = get_grid_index(
+                centroids, 64 if use_near1_grid else 128
+            )
             grid_data = (gi.bin_reps32, gi.center, gi.bin_elems,
                          gi.bin_coords6)
 
