@@ -365,6 +365,8 @@ def bench_exodus_gll():
         lambda p: mmt.write_salvus_fixture(
             p, tgt, parameters=("VP", "VS", "RHO"), field_kind="linear"),
     )
+    from multimesh_tpu.utils_profile import reset_stages, stage_totals
+
     with tempfile.TemporaryDirectory() as td:
         f_gll = _restore(f_gll0, os.path.join(td, "tgt.h5"))
         engine.exodus_2_gll(f_exo, f_gll, parameters=["VP", "VS", "RHO"])
@@ -374,6 +376,17 @@ def bench_exodus_gll():
         dt = time.time() - t0
         with h5py.File(f_gll, "r") as h5:
             got = np.asarray(h5["MODEL/data"][:, 0, :])
+        # separate profiled pass for the stage breakdown (its syncs
+        # serialize the pipeline; the clean wall above is the headline)
+        f_gll = _restore(f_gll0, f_gll)
+        os.environ["MMT_PROFILE"] = "1"
+        try:
+            reset_stages()
+            engine.exodus_2_gll(f_exo, f_gll,
+                                parameters=["VP", "VS", "RHO"])
+            stages = {k: round(v, 3) for k, v in stage_totals().items()}
+        finally:
+            del os.environ["MMT_PROFILE"]
         truth = mmt.smooth_field(tgt.points.reshape(-1, 3)).reshape(
             tgt.nelem, n_gll)
         # trilinear source: discretization-limited accuracy
@@ -391,6 +404,7 @@ def bench_exodus_gll():
         "interp_rel_err_vs_analytic": rel,
         "n_points": n_slots_actual,
         "n_source_elements": src.nelem,
+        "stage_breakdown_s": stages,
     }
 
 
