@@ -374,4 +374,13 @@ def extract_regular_grid(
             raise ValueError("netcdf_path is required with save_to_netcdf")
         ds.to_netcdf(netcdf_path)
         return None
-    return ds
+    # reference return-type parity: the reference returns an
+    # xarray.Dataset (reference interpolator.py:1638-1646) -- users with
+    # xarray installed get exactly that; without it the structurally
+    # equivalent RegularGridData (same coords/data/attrs surface) is
+    # returned instead of failing on import
+    try:
+        import xarray  # noqa: F401
+    except ImportError:
+        return ds
+    return ds.to_xarray()

@@ -466,11 +466,17 @@ def _sharded_transfer_ladder(
         )
     else:
         out_vals = np.zeros((N, F))
-    for start, nb, v, r, c in pend:
-        if not device_out:
-            out_vals[start : start + nb] = np.asarray(v)[:nb]
-        if int(np.asarray(c).sum()):
-            retry_mask[start : start + nb] = np.asarray(r)[:nb]
+    from ..progress import progress as _progress
+
+    # the drain loop forces completion block by block, so it is where
+    # progress is honest (dispatch above is async and races ahead)
+    with _progress(N, "sharded transfer", n_steps=len(pend)) as pbar:
+        for start, nb, v, r, c in pend:
+            if not device_out:
+                out_vals[start : start + nb] = np.asarray(v)[:nb]
+            if int(np.asarray(c).sum()):
+                retry_mask[start : start + nb] = np.asarray(r)[:nb]
+            pbar.step(nb)
 
     rows = np.where(retry_mask)[0]
     pts_r = np.asarray(pts_src[rows]) if rows.size else None

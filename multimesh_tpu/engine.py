@@ -27,6 +27,7 @@ from . import utils
 from .config import LocateConfig, DEFAULT_LOCATE, Precision, PREFILTER_M
 from .io import exodus as eio
 from .io import salvus as sio
+from .hashing import combine_fingerprints
 from .ops import (
     TransferOperator,
     content_fingerprint,
@@ -34,6 +35,7 @@ from .ops import (
     mesh_layer_masks,
     repair_fluid_solid,
     unique_points,
+    unique_points_cached,
     unique_points_per_layer,
 )
 
@@ -200,20 +202,42 @@ def gll_2_gll(
             solid = ~fluid
             old_values = np.asarray(new[to_model_path][()])
 
-        with stage_timer("g2g.dedup"):
-            uniq, recon = unique_points(new_points)
+        # Content fingerprints (memory-speed, ~0.25 s at 10M slots):
+        # source and target hashed SEPARATELY so the target's fingerprint
+        # also keys the dedup cache, and their combination guards the
+        # on-disk operator cache.  Keying the operator on the raw target
+        # coordinates (not the deduplicated uniq, as earlier rounds did)
+        # is what lets a cache hit skip the ~8 s host dedup lexsort
+        # entirely: the operator is saved WITH its reconstruction
+        # indices (recon.npy).
+        with stage_timer("g2g.fingerprint"):
+            fp_tgt = content_fingerprint(new_points)
+            fp = combine_fingerprints(
+                content_fingerprint(src_points), fp_tgt
+            )
 
         op = None
-        # the geometry fingerprint guards the on-disk operator cache;
-        # without stored_array there is nothing to guard, so skip the
-        # (GB-scale on big meshes) host hash entirely
-        fp = content_fingerprint(src_points, uniq) if stored_array else None
         if stored_array and TransferOperator.exists(stored_array):
             try:
                 op = TransferOperator.load(stored_array, fingerprint=fp)
             except ValueError as exc:
                 print(f"Ignoring stored operator: {exc}")
                 op = None
+        if op is not None and op.recon is not None:
+            recon = np.asarray(op.recon)
+        else:
+            with stage_timer("g2g.dedup"):
+                # first-appearance unique ordering: prefixes of the slot
+                # array then reference prefixes of the unique values,
+                # which is what lets _stream_expand_write overlap the
+                # result pull with the HDF5 write.  The device copy is
+                # cached too -- its ~120 MB upload otherwise costs more
+                # than the locate compute on this rig's tunnel.
+                from .ops.dedup import unique_points_device
+
+                uniq, recon = unique_points_device(
+                    new_points, fp_tgt, order_by="first"
+                )
         if op is None:
             op = TransferOperator.build(
                 src_points,
@@ -223,38 +247,133 @@ def gll_2_gll(
                 fallback="fixed_ref",
                 use_aabb=True,
                 prefilter_m=PREFILTER_M,
+                recon=recon,
             )
             if stored_array:
                 op.save(stored_array, fingerprint=fp)
 
         fields = np.moveaxis(src_data, 1, 0)  # [P, E, n]
+        # f32 field upload when the operator carries f32-grade refs (the
+        # pallas/TPU path): apply casts fields to the weight dtype on
+        # device anyway, so uploading f64 over the ~80 MB/s host tunnel
+        # is pure waste.  The f64-accurate paths (xla/CPU refs, df32
+        # pair polish, dense f64 caches) keep the f64 upload.
+        op_weights_f32 = op.refs_lo is None and (
+            (op._weights is not None
+             and np.dtype(op._weights.dtype) == np.float32)
+            or (op._weights is None and op.refs is not None
+                and np.dtype(op.refs.dtype) == np.float32)
+        )
+        if op_weights_f32:
+            fields = np.ascontiguousarray(fields, dtype=np.float32)
         with stage_timer("g2g.apply") as t:
-            vals_u = op.apply(fields)  # [U, P] (device array)
-            t.sync(vals_u)
-        # NaN audit as a device-side reduce (np.isnan on the device array
-        # would pull the full [U, P] result over the slow host link just
-        # to check it, then the write-back below would pull it again)
+            # UNIQUE values only, as a list of device chunks:
+            # reconstruction to the ~2x larger slot array happens on the
+            # host, streamed chunk by chunk below
+            chunks, CH = op.apply(fields, out_chunks=True)
+            t.sync(chunks[0])
+        # NaN audit as a device-side reduce (np.isnan on the host would
+        # need the values first; expansion cannot introduce NaNs, so
+        # auditing the unique values covers the full result)
         import jax.numpy as jnp
 
-        if bool(jnp.isnan(jnp.asarray(vals_u)).any()):
+        if bool(jnp.any(jnp.stack(
+            [jnp.isnan(c).any() for c in chunks]
+        ))):
             raise FloatingPointError(
                 "interpolation produced NaNs; check source mesh/fields"
             )
-        with stage_timer("g2g.pull_result"):
-            values = np.asarray(
-                jnp.asarray(vals_u)[jnp.asarray(recon, jnp.int32)]
-                .reshape(new_points.shape[0], gll_points, len(parameters))
-                .swapaxes(1, 2)
-            )  # [E, P, n] -- reconstruction + relayout on device, ONE pull
 
-        if not gradient:
-            values = repair_fluid_solid(values, old_values, solid, parameters)
-
-        with stage_timer("g2g.write_h5"):
-            sio.recreate_dataset(
-                new, parameters, to_model_path, to_coordinates_path
+        with stage_timer("g2g.stream_write"):
+            values = _stream_expand_write(
+                new, chunks, CH, recon, parameters, gll_points,
+                old_values, solid, gradient,
+                to_model_path, to_coordinates_path,
             )
-            new[to_model_path][:, :, :] = values
+    return values
+
+
+def _stream_expand_write(
+    new, chunks, CH, recon, parameters, gll_points, old_values, solid,
+    gradient, to_model_path, to_coordinates_path,
+):
+    """Pipelined device->host pull + host expansion + HDF5 write-back.
+
+    The device->host tunnel on this rig runs ~20 MB/s and the host
+    expansion (recon gather + [E, n, P] -> [E, P, n] relayout + fluid
+    repair + HDF5 write) costs a comparable wall, so running them
+    back-to-back doubles the tail of every file transfer.  Instead a
+    single worker thread pulls value chunk j+1 (jax releases the GIL
+    during transfers) while the main thread expands and writes every
+    element whose unique values are fully resident.
+
+    Streaming needs ``max(recon[:m])`` monotone in ``m`` -- guaranteed
+    when the dedup used order_by="first" (ops.dedup).  Any other recon
+    (e.g. an externally built stored_array) degrades gracefully: the
+    element boundaries collapse toward the final chunk and the write
+    simply happens after the full pull, bit-identically.
+    """
+    import concurrent.futures
+
+    from .progress import progress as _progress
+
+    n_elem = old_values.shape[0]
+    n_par = len(parameters)
+    U = sum(int(c.shape[0]) for c in chunks)
+    vals_host = np.empty((U, n_par), chunks[0].dtype)
+
+    # last element writable after chunk j: cumulative max unique id per
+    # element prefix vs pulled-row watermark (j+1)*CH
+    elem_max = np.maximum.accumulate(
+        recon.reshape(n_elem, gll_points).max(axis=1)
+    )
+    limits = [min((j + 1) * CH, U) for j in range(len(chunks))]
+    e_bounds = np.searchsorted(elem_max, limits, side="left")
+    e_bounds[-1] = n_elem
+
+    sio.recreate_dataset(
+        new, parameters, to_model_path, to_coordinates_path
+    )
+    dset = new[to_model_path]
+    values = np.empty((n_elem, n_par, gll_points), np.float64)
+    blk = max(1, (1 << 25) // max(1, n_par * gll_points * 8))
+
+    def pull(j):
+        lo = j * CH
+        arr = np.asarray(chunks[j])
+        vals_host[lo : lo + arr.shape[0]] = arr
+
+    pbar = _progress(n_elem, "write-back", unit="elems",
+                     n_steps=-(-n_elem // blk))
+    with concurrent.futures.ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(pull, 0)
+        prev_e = 0
+        for j in range(len(chunks)):
+            fut.result()
+            if j + 1 < len(chunks):
+                fut = ex.submit(pull, j + 1)
+            # expand/repair/write all elements newly covered by chunk j.
+            # The expansion converts to f64 in the same pass -- fluid /
+            # reverted-solid elements then keep their original values
+            # BIT-exactly, and the dataset is f64 anyway.
+            for s in range(prev_e, int(e_bounds[j]), blk):
+                e = min(s + blk, int(e_bounds[j]))
+                rb = recon[s * gll_points : e * gll_points]
+                block = np.asarray(
+                    vals_host[rb]
+                    .reshape(e - s, gll_points, n_par)
+                    .transpose(0, 2, 1),
+                    dtype=np.float64, order="C",
+                )  # [blk, P, n]
+                if not gradient:
+                    block = repair_fluid_solid(
+                        block, old_values[s:e], solid[s:e], parameters
+                    )
+                values[s:e] = block
+                dset[s:e] = block
+                pbar.step(e - s)
+            prev_e = int(e_bounds[j])
+    pbar.close()
     return values
 
 

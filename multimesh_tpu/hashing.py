@@ -131,3 +131,14 @@ def content_fingerprint(*arrays) -> int:
         h.update(str(a.dtype).encode())
         h.update(content_hash(a))
     return int.from_bytes(h.digest(), "little")
+
+
+def combine_fingerprints(*fps: int) -> int:
+    """Order-sensitive 64-bit combination of fingerprints.  Lets callers
+    hash large arrays once each (e.g. source and target geometry
+    separately, so the target's fingerprint can also key a dedup cache)
+    and still derive a single joint cache key."""
+    h = hashlib.blake2b(digest_size=8)
+    for fp in fps:
+        h.update(int(fp).to_bytes(8, "little", signed=False))
+    return int.from_bytes(h.digest(), "little")

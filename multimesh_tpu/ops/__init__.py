@@ -1,5 +1,9 @@
 from .transfer import TransferOperator, content_fingerprint  # noqa: F401
-from .dedup import unique_points, unique_points_per_layer  # noqa: F401
+from .dedup import (  # noqa: F401
+    unique_points,
+    unique_points_cached,
+    unique_points_per_layer,
+)
 from .layers import (  # noqa: F401
     resolve_layers,
     layer_masks,

@@ -13,7 +13,9 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
-def unique_points(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def unique_points(
+    points: np.ndarray, order_by: str = "sorted"
+) -> Tuple[np.ndarray, np.ndarray]:
     """Flatten [E, n, d] (or accept [N, d]) and dedup exactly.
 
     Returns (unique [U, d], recon [E*n]) with
@@ -21,6 +23,14 @@ def unique_points(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     np.unique(..., return_inverse=True, axis=0) which the reference uses
     (utils.py:484-488), but implemented via lexsort (np.unique's axis-0
     path is substantially slower at the 1e7+ point counts we target).
+
+    ``order_by="first"`` relabels the unique points in order of FIRST
+    APPEARANCE in the flat input instead of lexicographic order.  Then
+    ``max(recon[:m])`` is monotone in ``m``: every prefix of the input
+    references only a prefix of the unique array, which lets the engine
+    file paths stream device->host result pulls against the HDF5
+    write-back instead of waiting for the full pull (the tunnel is the
+    file path's bottleneck on this rig).
     """
     pts = np.asarray(points)
     if pts.ndim == 3:
@@ -34,7 +44,75 @@ def unique_points(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     unique = spts[is_new]
     recon = np.empty(len(pts), dtype=np.int64)
     recon[order] = group
+    if order_by == "first":
+        starts = np.nonzero(is_new)[0]
+        # first original index of each (sorted-order) group; groups are
+        # contiguous runs of `order` -> one segmented min
+        first_orig = np.minimum.reduceat(order, starts)
+        perm = np.argsort(first_orig, kind="stable")  # newid -> oldid
+        inv = np.empty(len(perm), np.int64)
+        inv[perm] = np.arange(len(perm))
+        unique = unique[perm]
+        recon = inv[recon]
+    elif order_by != "sorted":
+        raise ValueError(f"unknown order_by {order_by!r}")
     return unique, recon
+
+
+_UNIQ_CACHE: dict = {}  # content fingerprint -> (unique, recon)
+
+
+def unique_points_cached(
+    points: np.ndarray, fingerprint: int | None = None,
+    order_by: str = "sorted",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`unique_points` behind an in-process content-keyed cache.
+
+    The host lexsort costs ~8 s at 10M points on this rig while the
+    content fingerprint runs at memory speed (~0.25 s for the same
+    array), so repeated transfers onto the same target mesh -- the
+    dominant production pattern, and the reason the reference caches
+    interpolation weights at all -- skip the dedup entirely.  Callers
+    that already fingerprinted the points pass it in to avoid a second
+    hash.  Two entries only: (uniq, recon) for a 10M-slot target is
+    ~110 MB of host RAM per entry."""
+    from ..hashing import content_fingerprint
+
+    if fingerprint is None:
+        fingerprint = content_fingerprint(np.asarray(points))
+    key = (fingerprint, order_by)
+    hit = _UNIQ_CACHE.get(key)
+    if hit is None:
+        if len(_UNIQ_CACHE) >= 2:
+            _UNIQ_CACHE.clear()
+        hit = unique_points(points, order_by=order_by)
+        _UNIQ_CACHE[key] = hit
+    return hit
+
+
+_UNIQ_DEV_CACHE: dict = {}
+
+
+def unique_points_device(
+    points: np.ndarray, fingerprint: int, order_by: str = "first"
+) -> Tuple["object", np.ndarray]:
+    """(device unique points, host recon), both content-cached.
+
+    The unique coordinates of a 10M-slot f64 target are ~120 MB; at the
+    ~80 MB/s host->device tunnel of this rig the upload costs more than
+    the whole locate compute, so repeat transfers onto one target keep
+    the device copy alive alongside the host dedup."""
+    import jax.numpy as jnp
+
+    uniq, recon = unique_points_cached(points, fingerprint, order_by)
+    key = (fingerprint, order_by)
+    dev = _UNIQ_DEV_CACHE.get(key)
+    if dev is None:
+        if len(_UNIQ_DEV_CACHE) >= 2:
+            _UNIQ_DEV_CACHE.clear()
+        dev = jnp.asarray(uniq)
+        _UNIQ_DEV_CACHE[key] = dev
+    return dev, recon
 
 
 # NOTE on a measured dead end: a device-side dedup (jnp.lexsort +

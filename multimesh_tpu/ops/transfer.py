@@ -173,7 +173,8 @@ class TransferOperator:
         return int(jnp.sum(jnp.asarray(self.elements) < 0))
 
     def apply(self, fields, expand: bool = True,
-              chunk: int = 1_048_576) -> np.ndarray:
+              chunk: int = 1_048_576,
+              out_chunks: bool = False) -> np.ndarray:
         """Apply to one field [E, n] -> [N] or a stack [F, E, n] -> [N, F].
 
         When the operator was built on unique points and ``expand`` is set,
@@ -185,6 +186,12 @@ class TransferOperator:
         engine, f64 for the xla engine -- matching the accuracy the
         location stage delivered) and chunked over points to bound the
         [F, chunk, n] gather buffer.
+
+        ``out_chunks=True`` returns ``(chunks, chunk)`` -- the list of
+        per-chunk DEVICE arrays (row ranges ``[i*chunk, (i+1)*chunk)``,
+        un-expanded) instead of one concatenated array, so file paths can
+        stream chunk pulls over the slow host tunnel while earlier rows
+        are already being expanded and written (``expand`` is ignored).
         """
         fields = jnp.asarray(fields)
         single = fields.ndim == 2
@@ -218,6 +225,8 @@ class TransferOperator:
                 )
                 for s in range(0, N, chunk)
             ]
+        if out_chunks:
+            return outs, chunk
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         if expand and self.recon is not None:
             out = out[jnp.asarray(self.recon)]

@@ -1297,8 +1297,13 @@ def locate(
     # dilute random-order failure tail) overflow exactly where the work
     # is hardest, and the sort itself costs more than the coherence
     # returns.  Random arrival order is load-balancing for the ladder.
+    from ..progress import progress as _progress
+
     outs = []
-    with _stage_timer("locate.chunks") as t:
+    n_chunks = -(-N // chunk)
+    with _stage_timer("locate.chunks") as t, _progress(
+        N, "locate", n_steps=n_chunks
+    ) as pbar:
         for start in range(0, N, chunk):
             sl = slice(start, min(start + chunk, N))
             pts_c = points[sl]
@@ -1308,6 +1313,7 @@ def locate(
                 else candidates[sl]
             )
             outs.append(run_chunk(pts_c, cand_c, prefilter_m))
+            pbar.step(sl.stop - sl.start, device_value=outs[-1][0])
         t.sync(outs[-1][0])
     if len(outs) == 1:
         elements, refs, weights, found, accepted, needs_retry = outs[0]
@@ -1356,7 +1362,9 @@ def locate(
         # host on every call would cost ~N bytes over the tunnel.)
         retry = np.where(np.asarray(needs_retry))[0]
         k_full = min(cfg.nelem_to_search, elem_nodes.shape[0])
-        with _stage_timer("locate.ladder_retry"):
+        with _stage_timer("locate.ladder_retry"), _progress(
+            retry.size, "locate retry", n_steps=-(-retry.size // chunk)
+        ) as rbar:
             # chunked like the main loop: a mass failure (bad round-1
             # candidates, pathological meshes) must degrade to a slow
             # scan, never to an OOM -- an unchunked retry at 8M rows
@@ -1383,6 +1391,7 @@ def locate(
                     )
                 found = found.at[retry_j].set(r_f)
                 accepted = accepted.at[retry_j].set(_acc)
+                rbar.step(retry_j.shape[0], device_value=r_el)
 
     k_avail = k if knn_per_chunk else candidates.shape[1]
     if prefilter_m and prefilter_m < k_avail and not use_ladder:

@@ -9,7 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .bench_results
-configs="${BENCH_ONLY:-grid2d gll exodus gll_big exodus_gll sharded gll100m}"
+configs="${BENCH_ONLY:-grid2d gll exodus gll_big exodus_gll gll_file sharded gll100m}"
 for c in $configs; do
     echo "=== BENCH_CONFIG=$c ==="
     BENCH_CONFIG="$c" timeout 1800 python bench.py \

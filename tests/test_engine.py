@@ -405,3 +405,101 @@ def test_interpolate_to_mesh_duck_objects(tmp_path):
     truth = mmt.smooth_field(tgt.points)
     got = new.element_nodal_fields["VP"]
     assert np.max(np.abs(got - truth)) < 2e-2
+
+
+def test_exodus_2_exodus_3d(tmp_path):
+    """HEX8 -> HEX8 nodal transfer on curved Earth-scale shells: the 3D
+    file path of the reference CLI's interpolate_mesh_a_to_b
+    (reference cli.py:35-104 + src/trilinearinterpolator.c)."""
+    src = mmt.shell_mesh(n_lat=10, n_lon=10, n_rad=8, order=1)
+    tgt = mmt.shell_mesh(n_lat=7, n_lon=7, n_rad=6, order=1,
+                         r_inner=3.7e6, r_outer=6.2e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    f_a = tmp_path / "a3d.e"
+    f_b = tmp_path / "b3d.e"
+    mmt.write_exodus_fixture(f_a, src, parameters=("VP", "VS"))
+    mmt.write_exodus_fixture(f_b, tgt, parameters=("VP", "VS"),
+                             field_kind="linear")
+    engine.exodus_2_exodus(str(f_a), str(f_b), parameters=["VP", "VS"])
+
+    got = Exodus(str(f_b)).get_nodal_field("VS")
+    oracle_vals, oracle_elems = interpolate_np(
+        tgt.vertices, src.points,
+        mmt.element_nodal_field(src, "smooth") * 1.1, order=1,
+        tol=1.025,
+    )
+    inside = oracle_elems >= 0
+    assert inside.mean() > 0.99  # target is interior: locate must work
+    np.testing.assert_allclose(got[inside], oracle_vals[inside],
+                               rtol=1e-6)
+    # against the analytic truth: trilinear discretization error only
+    truth = mmt.smooth_field(tgt.vertices) * 1.1
+    assert np.max(np.abs(got - truth) / np.abs(truth)) < 5e-3
+
+
+def test_interpolate_to_points_layered(tmp_path):
+    """Layered point interpolation writes onto the target mesh with
+    sentinel semantics: located nodes take source values, unlocatable
+    nodes get zero (reference interpolator.py:855-928)."""
+    src = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=4, order=2, n_layers=2)
+    # radial extent EXTENDS BEYOND the source both ways (those nodes
+    # cannot locate), while the layer BOUNDARY radius matches the
+    # source's (layered transfers restrict candidates to the same-id
+    # source layer, so mismatched boundaries would fail by design)
+    src_mid = 0.5 * (3.48e6 + 6.371e6)
+    r_outer = 6.9e6
+    tgt = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=4, order=2, n_layers=2,
+                         r_inner=2 * src_mid - r_outer, r_outer=r_outer,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    src_path, tgt_path = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(src_path, src, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS"))
+
+    engine.interpolate_to_points_layered(
+        str(src_path), str(tgt_path), parameters=["VP"], layers="all",
+    )
+    out = SalvusMesh(tgt_path, fast_mode=False)
+    got = out.element_nodal_fields["VP"]
+
+    r = np.linalg.norm(tgt.points, axis=-1)
+    outside = (r > 6.371e6 * 1.02) | (r < 3.48e6 * 0.98)
+    interior = (r < 6.371e6 * 0.98) & (r > 3.48e6 * 1.02)
+    assert outside.any() and interior.any()
+    # sentinel semantics: unlocatable nodes zero-filled
+    np.testing.assert_array_equal(got[outside], 0.0)
+    # interior nodes carry the transferred analytic field
+    truth = mmt.smooth_field(tgt.points)
+    err = np.abs(got[interior] - truth[interior])
+    assert np.max(err) < 2e-2
+
+
+def test_extract_regular_grid_return_type(tmp_path, monkeypatch):
+    """api.extract_regular_grid returns an xarray.Dataset when xarray is
+    importable (reference return-type parity, interpolator.py:1638-1646)
+    and the structurally equivalent RegularGridData when it is not."""
+    import sys
+
+    mesh = mmt.shell_mesh(n_lat=4, n_lon=6, n_rad=2, order=2,
+                          r_inner=5.5e6, r_outer=6.371e6,
+                          lat_extent=(0.2, 2.9), lon_extent=(-3.1, 3.1))
+    path = tmp_path / "m.h5"
+    mmt.write_salvus_fixture(path, mesh, parameters=("VP",))
+    kwargs = dict(
+        mesh=str(path), parameters=["VP"], lat_extent=(-50, 50, 3),
+        lon_extent=(-120, 120, 4), depth_extent=(1.0e5, 4e5, 2),
+    )
+
+    from multimesh_tpu.utils import RegularGridData
+
+    # this image has no xarray -> RegularGridData path
+    assert "xarray" not in sys.modules
+    ds = api.extract_regular_grid(**kwargs)
+    assert isinstance(ds, RegularGridData)
+
+    # simulate an installed xarray: the auto-convert branch must call
+    # to_xarray() and return its result
+    sentinel = object()
+    monkeypatch.setitem(sys.modules, "xarray", type(sys)("xarray"))
+    monkeypatch.setattr(RegularGridData, "to_xarray",
+                        lambda self: sentinel)
+    assert api.extract_regular_grid(**kwargs) is sentinel

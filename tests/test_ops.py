@@ -300,3 +300,91 @@ def test_map_to_sphere_flat_vertex_mesh():
         before / np.linalg.norm(before, axis=-1)[..., None],
         rtol=1e-12,
     )
+
+
+class _EllipseMesh:
+    """Minimal duck mesh for map_to_ellipse: element-nodal points,
+    shape_order, z_node_1D."""
+
+    def __init__(self, points, order, z1d):
+        self.points = points
+        self.shape_order = order
+        self.element_nodal_fields = {"z_node_1D": z1d}
+
+
+def test_map_to_ellipse_transfers_ellipticity():
+    """A base mesh flattened by r -> r*(1 - e*cos^2(theta)) must stretch a
+    spherical target by the interpolated same factor, and the base mesh's
+    geometry must be restored afterwards
+    (reference interpolator.py:1085-1122)."""
+    from multimesh_tpu.config import R_EARTH_M
+    from multimesh_tpu.ops import map_to_ellipse
+
+    base_sph = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=3, order=2,
+                              lat_extent=(0.5, 1.2), lon_extent=(0.3, 1.4))
+    tgt_sph = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2,
+                             r_inner=3.7e6, r_outer=6.2e6,
+                             lat_extent=(0.55, 1.15),
+                             lon_extent=(0.35, 1.35))
+
+    e = 0.003  # synthetic ellipticity (flattening) amplitude
+    r_base = np.linalg.norm(base_sph.points, axis=-1)
+    cos_th = base_sph.points[..., 2] / r_base
+    factor = 1.0 - e * cos_th**2
+    base_pts = base_sph.points * factor[..., None]
+    base = _EllipseMesh(base_pts.copy(), 2, r_base / R_EARTH_M)
+
+    tgt_r = np.linalg.norm(tgt_sph.points, axis=-1)
+    tgt = _EllipseMesh(tgt_sph.points.copy(), 2, tgt_r / R_EARTH_M)
+
+    map_to_ellipse(base, tgt)
+
+    # base geometry restored bit-exactly
+    np.testing.assert_array_equal(base.points, base_pts)
+    # target stretched by the (smooth, interpolable) factor
+    cos_tt = tgt_sph.points[..., 2] / tgt_r
+    want = tgt_sph.points * (1.0 - e * cos_tt**2)[..., None]
+    np.testing.assert_allclose(tgt.points, want, rtol=1e-5)
+
+
+def test_map_to_ellipse_restores_on_failure():
+    """If the transfer fails mid-way, BOTH meshes keep their original
+    geometry (exception-safe restore)."""
+    from multimesh_tpu.config import R_EARTH_M
+    from multimesh_tpu.ops import map_to_ellipse
+
+    base_sph = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+    r_base = np.linalg.norm(base_sph.points, axis=-1)
+    base = _EllipseMesh(base_sph.points.copy(), 2, r_base / R_EARTH_M)
+    base_before = base.points.copy()
+
+    tgt_sph = mmt.shell_mesh(n_lat=3, n_lon=3, n_rad=2, order=2)
+    # target LACKS z_node_1D -> map_to_sphere(mesh) raises KeyError
+    tgt = _EllipseMesh(
+        tgt_sph.points.copy(), 2,
+        np.linalg.norm(tgt_sph.points, axis=-1) / R_EARTH_M,
+    )
+    tgt.element_nodal_fields = {}
+    tgt_before = tgt.points.copy()
+
+    with pytest.raises(KeyError):
+        map_to_ellipse(base, tgt)
+    np.testing.assert_array_equal(base.points, base_before)
+    np.testing.assert_array_equal(tgt.points, tgt_before)
+
+
+def test_unique_points_first_appearance_order(rng):
+    """order_by='first' keeps the dedup contract and makes prefix maxima
+    of recon monotone (what the engine's streaming write-back relies
+    on)."""
+    mesh = mmt.box_mesh(shape=(3, 3, 3), order=2)
+    flat = mesh.points.reshape(-1, 3)
+    uniq, recon = unique_points(mesh.points, order_by="first")
+    np.testing.assert_allclose(uniq[recon], flat)
+    uref = np.unique(flat, axis=0)
+    assert len(uniq) == len(uref)
+    # first-appearance labeling: ids are assigned in scan order
+    seen = np.maximum.accumulate(recon)
+    first_hits = np.nonzero(np.r_[True, np.diff(seen) > 0])[0]
+    np.testing.assert_array_equal(recon[first_hits],
+                                  np.arange(len(uniq)))

@@ -116,3 +116,133 @@ def test_tpu_sharded_program(shell_problem):
     vs, fs, _ = _interp(res, field)
     rel = np.abs(vals[fs, 0] - vs[fs]).max() / np.abs(vs[fs]).max()
     assert rel < 5e-5, rel
+
+
+@pytest.fixture(scope="module")
+def big_shell():
+    """A source mesh large enough that candidates come from the
+    balanced-bin grid index (E > grid.APPROX_GRID_MIN_SOURCES) -- the
+    CPU suite exercises this path in interpret/xla mode only."""
+    mesh = mmt.shell_mesh(n_lat=32, n_lon=32, n_rad=18, order=1)
+    field = mmt.element_nodal_field(mesh, "smooth")
+    return mesh, field
+
+
+def test_tpu_grid_path_locate(big_shell):
+    """Grid-mode ladder (nearest-member round 1, bin re-probe rescue) on
+    compiled Mosaic vs the exhaustive scan and the analytic field."""
+    from multimesh_tpu.search.grid import APPROX_GRID_MIN_SOURCES
+
+    mesh, field = big_shell
+    assert mesh.nelem > APPROX_GRID_MIN_SOURCES
+    rng = np.random.default_rng(7)
+    n = 65536
+    r = rng.uniform(3.65e6, 6.25e6, n)
+    th = rng.uniform(0.56, 1.14, n)
+    ph = rng.uniform(0.36, 1.34, n)
+    pts = np.stack(
+        [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+         r * np.cos(th)], -1)
+    mesh.points.setflags(write=False)
+    cfg = LocateConfig(accept_tol=1.05)
+    lad = locate(pts, mesh.points, order=1, cfg=cfg, fallback="snap",
+                 strategy="ladder", engine="pallas")
+    vl, fl, el = _interp(lad, field)
+    truth = mmt.smooth_field(pts)
+    # trilinear source: discretization-limited accuracy
+    rel = np.abs(vl - truth).max() / np.abs(truth).max()
+    assert rel < 5e-3, rel
+    scan = locate(pts[:4096], mesh.points, order=1, cfg=cfg,
+                  fallback="snap", strategy="scan", engine="xla")
+    vs, _, _ = _interp(scan, field)
+    rel_s = np.abs(vl[:4096] - vs).max() / np.abs(vs).max()
+    assert rel_s < 5e-5, rel_s
+
+
+def test_tpu_df32_apply_end_to_end(shell_problem):
+    """df32 pair polish + compensated apply on compiled Mosaic: a linear
+    field must come back at f64 grade (~1e-9), far beyond the f32
+    plateau (~1e-6)."""
+    from multimesh_tpu.ops import TransferOperator
+
+    mesh, _, pts = shell_problem
+    field = mmt.smooth_field(mesh.points, "linear")
+    cfg = LocateConfig(accept_tol=1.04, df32_polish=True)
+    op = TransferOperator.build(mesh.points, pts, order=4, cfg=cfg,
+                                fallback="sentinel")
+    assert op.refs_lo is not None
+    vals = np.asarray(op.apply(field))
+    found = np.asarray(op.elements) >= 0
+    assert found.mean() > 0.98
+    truth = mmt.smooth_field(pts, "linear")
+    rel = np.abs(vals[found] - truth[found]).max() / np.abs(
+        truth[found]).max()
+    assert rel < 1e-8, rel
+
+
+def test_tpu_gll_2_gll_file_path(tmp_path):
+    """The flagship FILE path (read -> fingerprint/dedup -> fixed_ref
+    ladder -> streamed pull/write) end to end on the real chip."""
+    from multimesh_tpu import api
+    from multimesh_tpu.io import SalvusMesh
+
+    src = mmt.shell_mesh(n_lat=5, n_lon=5, n_rad=3, order=4)
+    tgt = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=3, order=4,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    src_path, tgt_path = tmp_path / "s.h5", tmp_path / "t.h5"
+    mmt.write_salvus_fixture(src_path, src, parameters=("VP", "VS"))
+    mmt.write_salvus_fixture(tgt_path, tgt, parameters=("VP", "VS"))
+    api.gll_2_gll(from_gll=str(src_path), to_gll=str(tgt_path))
+    out = SalvusMesh(tgt_path, fast_mode=False)
+    truth = mmt.smooth_field(tgt.points)
+    rel = np.abs(out.element_nodal_fields["VP"] - truth).max() / np.abs(
+        truth).max()
+    assert rel < 1e-4, rel
+
+
+def test_tpu_exodus_2_gll_file_path(tmp_path):
+    """Exodus -> GLL file path (C-kernel acceptance semantics, f32
+    device relayout before the pull) on the real chip."""
+    from multimesh_tpu import api
+    import h5py
+
+    src = mmt.shell_mesh(n_lat=16, n_lon=16, n_rad=12, order=1)
+    tgt = mmt.shell_mesh(n_lat=4, n_lon=4, n_rad=3, order=4,
+                         r_inner=3.6e6, r_outer=6.3e6,
+                         lat_extent=(0.55, 1.15), lon_extent=(0.35, 1.35))
+    f_exo = tmp_path / "src.e"
+    f_gll = tmp_path / "tgt.h5"
+    mmt.write_exodus_fixture(f_exo, src, parameters=("VP", "VS", "RHO"))
+    mmt.write_salvus_fixture(f_gll, tgt, parameters=("VP", "VS", "RHO"),
+                             field_kind="linear")
+    api.exodus_2_gll(str(f_exo), str(f_gll),
+                     parameters=["VP", "VS", "RHO"])
+    with h5py.File(f_gll, "r") as h5:
+        got = np.asarray(h5["MODEL/data"][:, 0, :])
+    truth = mmt.smooth_field(tgt.points.reshape(-1, 3)).reshape(
+        tgt.nelem, tgt.n_gll)
+    rel = np.abs(got - truth).max() / np.abs(truth).max()
+    assert rel < 5e-3, rel  # trilinear source discretization
+
+
+def test_tpu_source_sharded_program(shell_problem):
+    """The source-sharded scheme (two-pass local-try -> all_gather
+    retry) on a 1-device mesh on the real chip."""
+    from multimesh_tpu.dist import make_mesh, source_sharded_transfer
+    from multimesh_tpu.ops import TransferOperator
+
+    mesh, field, pts = shell_problem
+    cfg = LocateConfig(accept_tol=1.05, nelem_to_search=8)
+    vals = source_sharded_transfer(
+        pts, mesh.points, field[None], order=4, cfg=cfg,
+        mesh=make_mesh(1),
+    )
+    op = TransferOperator.build(mesh.points, pts, order=4, cfg=cfg,
+                                fallback="sentinel")
+    expected = np.asarray(op.apply(field[None]))
+    found = expected[:, 0] != 0
+    assert found.mean() > 0.98
+    rel = np.abs(vals[found, 0] - expected[found, 0]).max() / np.abs(
+        expected[found, 0]).max()
+    assert rel < 5e-5, rel
