@@ -368,7 +368,9 @@ def _sharded_transfer_ladder(
     if E > APPROX_GRID_MIN_SOURCES:
         # balanced-bin round-1 candidate + in-jit grid re-probe rescue
         cand_mode, rescue_mode, bucket_knn = "grid", "grid", True
-        gi = get_grid_index(cents_np, 64)
+        from ..search.locate import _round1_m
+
+        gi = get_grid_index(cents_np, _round1_m())
         grid_data = (put(gi.bin_reps32), put(gi.center),
                      put(gi.bin_elems), put(gi.bin_coords6))
         bucket_search = zb

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import weakref
 
@@ -202,19 +203,23 @@ def _grid_query(bin_reps32, bin_elems, bin_coords6, center, queries,
     return d2.astype(queries.dtype), idx
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe",))
+@functools.partial(jax.jit, static_argnames=("n_probe", "score_bf16"))
 def _nearest_member_jit(bin_reps32, bin_elems, bin_coords6, center,
-                        queries, n_probe: int = 4):
+                        queries, n_probe: int = 4,
+                        score_bf16: bool = False):
     """Nearest binned source per query, one fused pass with no top-k on
     the member axis: ``approx_max_k`` picks the ``n_probe`` nearest bins
     (a plain ``lax.top_k`` over [C, n_bins] costs more than the whole
     rest of this kernel -- measured 114 ms vs 50 ms at C=262k/4096 bins)
     and a single argmin over their members yields the candidate.
-    Pair with a 64-member-bin index (get_grid_index(..., 64)): the
-    [C, p, d, m] member gather falls off a cliff beyond p*m=256 on v5e
-    (measured 384.6 ms/chunk at p=4/m=128 vs 46.3 ms at p=4/m=64, same
-    top-1 recall; p=2 instead loses enough round-1 recall to swamp the
-    ladder rescue -- end-to-end err 1.5e-3, round 4).  Member
+    Pair with a 128-member-bin index (locate._round1_m): stage 1's
+    [C, n_bins] score buffer is the dominant traffic, so halving the
+    bin count beats shrinking the member gather (round-5 re-measure:
+    52 ms at p=4/m=128 vs 55 at p=4/m=64 per 262k chunk, and +21%
+    end-to-end; round 4's "m=128 gather cliff" no longer reproduces).
+    Probing fewer bins instead (p<=2 at any m) loses adjacent-bin
+    recall that the rescue ladder cannot fully recover for snap
+    semantics -- end-to-end err ~1e-3, re-confirmed round 5.  Member
     ranking reads only the hi half of the split-f32 coords: selection
     needs element-size resolution (km), not the survey-grade lo residual
     (sub-meter), and halving the gather bytes is most of stage 2's cost.
@@ -228,10 +233,24 @@ def _nearest_member_jit(bin_reps32, bin_elems, bin_coords6, center,
     n_bins, two_d, m = bin_coords6.shape
     d = two_d // 2
     p = min(n_probe, n_bins)
-    neg = (
-        2.0 * (q32 @ bin_reps32.T)
-        - jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :]
-    )
+    if score_bf16:
+        # bf16 bin scores halve the dominant [C, n_bins] buffer
+        # traffic; bin RANKING only needs bin-spacing resolution and
+        # the p probed bins absorb rank noise (experimental knob)
+        neg = (
+            2.0 * jax.lax.dot(
+                q32, bin_reps32.T,
+                preferred_element_type=jnp.bfloat16,
+            )
+            - jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :].astype(
+                jnp.bfloat16
+            )
+        )
+    else:
+        neg = (
+            2.0 * (q32 @ bin_reps32.T)
+            - jnp.sum(bin_reps32 * bin_reps32, axis=-1)[None, :]
+        )
     if n_bins >= 128 and p * 8 <= n_bins:
         _, probe = jax.lax.approx_max_k(neg, p)
     else:
@@ -272,6 +291,7 @@ def nearest_member(index: GridIndex, queries, *, n_probe: int = 4,
         out.append(_nearest_member_jit(
             index.bin_reps32, index.bin_elems, index.bin_coords6,
             index.center, q, n_probe,
+            score_bf16=os.environ.get("MMT_R1_BF16") == "1",
         )[:n])
     return jnp.concatenate(out) if len(out) > 1 else out[0]
 
@@ -432,12 +452,11 @@ def get_grid_index(sources, target_per_cell: int = 128) -> GridIndex:
     """The (cached) balanced-bin index for a source point set.
 
     ``target_per_cell`` sizes the bins and is part of the cache key: the
-    locate ladder's round-1 nearest-member pass uses 64-member bins
-    (the [C, p, d, m] member gather falls off a cliff beyond p*m=256 on
-    v5e -- measured 384.6 ms/chunk at p=4/m=128 vs 46.3 ms at p=4/m=64,
-    identical top-1 recall -- round 4), while the exact/approx top-k
-    routes keep the default 128 (their recall scales with p*m
-    coverage)."""
+    locate ladder's round-1 nearest-member pass uses
+    ``locate._round1_m()`` bins (128 since round 5 -- halving the bin
+    count halves stage 1's dominant [C, n_bins] score traffic; see
+    _nearest_member_jit), and the exact/approx top-k routes keep the
+    same default 128 (their recall scales with p*m coverage)."""
     key = (_fingerprint(sources), target_per_cell)
     index = _INDEX_CACHE.get(key)
     if index is None:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,28 @@ _F32_CONV_TOL = 1e-4
 # (use_approx); setting this True lets the CPU/interpret suite exercise
 # it (tests/test_locate.py::test_locate_ladder_near1_matches_scan).
 _FORCE_NEAR1 = False
+
+
+def _round1_m() -> int:
+    """Members per bin of the grid round-1 nearest-member index
+    (MMT_R1_M overrides for experiments).
+
+    128 re-measured best in round 5: 2.23 vs 1.84 M pts/s end-to-end at
+    m=64 on the 500k-element shell (2M points, identical 7.7e-7 error).
+    Round 4's "m=128 member-gather cliff" (384.6 ms/chunk) does NOT
+    reproduce on the current toolchain -- stage-2 at p=4/m=128 now
+    measures 46 ms -- while halving the bin count halves stage 1's
+    [C, n_bins] score traffic, which is what the cliff note missed.
+    Probing FEWER bins instead (p=2/p=1 at any m) collapses end-to-end
+    accuracy to ~1e-3: adjacent-bin recall is load-bearing and the
+    rescue ladder does not fully recover it for snap semantics."""
+    return int(os.environ.get("MMT_R1_M", "128"))
+
+
+def _round1_p() -> int:
+    """Bins probed by the grid round-1 nearest-member pass
+    (MMT_R1_P overrides for experiments)."""
+    return int(os.environ.get("MMT_R1_P", "4"))
 
 @dataclasses.dataclass
 class LocateResult:
@@ -998,6 +1021,8 @@ def locate(
     fixed_ref entry points get ladder speed on their interior bulk with
     scan-exact fallback semantics.
     """
+    if "MMT_LOCATE_CHUNK" in os.environ:  # experiment knob
+        chunk = int(os.environ["MMT_LOCATE_CHUNK"])
     points = jnp.asarray(points)
     # elem_nodes stays in its caller-provided form (numpy or device):
     # _mesh_prep hashes + preps host arrays host-side, and the ladder
@@ -1132,7 +1157,8 @@ def locate(
                     from .grid import get_grid_index, nearest_member
 
                     cand_c = nearest_member(
-                        get_grid_index(centroids, 64), pts_c
+                        get_grid_index(centroids, _round1_m()), pts_c,
+                        n_probe=_round1_p(),
                     )[:, None]
                 elif use_approx:
                     # 4 probed bins (vs the public default 8) is plenty
@@ -1192,7 +1218,7 @@ def locate(
             # (an exact sweep would scale with E)
             rescue_mode = "grid"
             gi = get_grid_index(
-                centroids, 64 if use_near1_grid else 128
+                centroids, _round1_m() if use_near1_grid else 128
             )
             grid_data = (gi.bin_reps32, gi.center, gi.bin_elems,
                          gi.bin_coords6)
