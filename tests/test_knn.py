@@ -69,3 +69,28 @@ def test_knn_zero_queries(rng):
     perm = rng.permutation(64)
     d2, idx = approx_knn(src[perm], perm, np.zeros((0, 3)), k=8)
     assert d2.shape == (0, 8) and idx.shape == (0, 8)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_pallas_nearest_interpret_matches_xla(rng, d):
+    """The fused Pallas nearest-centroid kernel (interpret mode on CPU;
+    scores never leave VMEM on hardware -- see search/pallas_argmin)
+    must pick sources at the same distance as the XLA matmul+argmax."""
+    from multimesh_tpu.search.knn import _nearest_jit
+    from multimesh_tpu.search.pallas_argmin import _nearest_pallas_jit
+
+    E, C = 300, 700  # off the lane/block grid: exercises all padding
+    src = jnp.asarray(rng.uniform(-6.4e6, 6.4e6, size=(E, d)))
+    q = jnp.asarray(rng.uniform(-6.0e6, 6.0e6, size=(C, d)))
+    a = np.asarray(_nearest_jit(q, src))
+    b = np.asarray(_nearest_pallas_jit(q, src, interpret=True))
+    assert b.min() >= 0 and b.max() < E
+    # picks must be distance-equivalent (rank noise between the two
+    # matmul formulations only ever swaps near-ties)
+    sa = np.asarray(src)[a]
+    sb = np.asarray(src)[b]
+    qa = np.asarray(q)
+    da = np.sum((qa - sa) ** 2, axis=-1)
+    db = np.sum((qa - sb) ** 2, axis=-1)
+    np.testing.assert_allclose(db, da, rtol=1e-3, atol=1.0)
+    assert (a == b).mean() > 0.99

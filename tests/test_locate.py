@@ -72,6 +72,7 @@ def test_locate_prefilter_matches_full_scan(rng):
     )
 
 
+@pytest.mark.slow
 def test_locate_pallas_engine_matches_xla(rng):
     """The fused pallas kernel (interpret mode on CPU) must agree with the
     XLA reference engine to f32 ref-coordinate accuracy."""
@@ -250,7 +251,11 @@ def test_locate_ladder_near1_matches_scan(fallback, rng):
     np.testing.assert_allclose(vl, vs, rtol=5e-5)
 
 
-@pytest.mark.parametrize("fallback", ["sentinel", "snap", "best"])
+@pytest.mark.parametrize("fallback", [
+    "sentinel",
+    pytest.param("snap", marks=pytest.mark.slow),  # ~20 s/case on 1 CPU
+    pytest.param("best", marks=pytest.mark.slow),
+])
 def test_locate_ladder_near1_grid_matches_scan(fallback, rng, monkeypatch):
     """The grid-path nearest-member candidate mode (use_near1_grid:
     round 1 on the single nearest bin member, rescue rounds probing the
@@ -382,6 +387,7 @@ def test_locate_ladder_fixed_ref_matches_scan(rng):
     np.testing.assert_array_equal(ext_fixed, ext_fixed_scan)
 
 
+@pytest.mark.slow
 def test_locate_f64_polish_refs(rng):
     """cfg.f64_polish: 2 warm-started f64 Newton iterations push the
     accepted ref coords from the f32 plateau (~1e-7) below 1e-10 and

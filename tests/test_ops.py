@@ -144,6 +144,7 @@ def test_transfer_operator_nan_cache_rejected(tmp_path):
         TransferOperator.load(tmp_path / "bad_refs")
 
 
+@pytest.mark.slow
 def test_transfer_operator_compact_preserves_df32_pairs(tmp_path, rng):
     """A df32-polished operator round-trips its (hi, lo) ref pairs, so a
     reloaded cache keeps the full pair precision (weights materialized

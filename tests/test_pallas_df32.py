@@ -130,7 +130,12 @@ def test_polish_ref_second_iteration_stable(rng):
     assert e2 < 5 * max(e1, 1e-12)
 
 
-@pytest.mark.parametrize("order,dim", [(4, 3), (4, 2)])
+@pytest.mark.parametrize("order,dim", [
+    # (4, 3) interprets the full 125-node basis per Newton step: ~84 s
+    # on this 1-CPU rig, the plumbing is identical -- slow lane only
+    pytest.param(4, 3, marks=pytest.mark.slow),
+    (4, 2),
+])
 def test_polish_kernel_interpret_plumbing(order, dim, rng):
     """Interpret-mode kernel: same wiring, conservative accuracy bound
     (the interpreter's excess intermediate precision degrades EFT

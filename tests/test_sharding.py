@@ -14,6 +14,7 @@ def test_virtual_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(rng):
     mesh = mmt.box_mesh(shape=(3, 3, 3), order=2, warp=0.1)
     field = mmt.element_nodal_field(mesh, "smooth")
@@ -43,6 +44,7 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(vals[:, 0], expected, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_engine(rng):
     """The fused kernel runs per shard (interpret mode on the CPU mesh)
     and matches the xla shard path."""
@@ -58,6 +60,7 @@ def test_sharded_pallas_engine(rng):
     np.testing.assert_allclose(v_pl, v_xla, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_multi_field_snap(rng):
     mesh = mmt.shell_mesh(n_lat=3, n_lon=4, n_rad=2, order=2)
     f1 = mmt.element_nodal_field(mesh, "smooth")
@@ -83,6 +86,7 @@ def test_sharded_multi_field_snap(rng):
     np.testing.assert_allclose(vals, expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_source_sharded_matches_replicated(rng):
     """Source elements sharded 8 ways (spatial bin runs) + two-pass
     local-try / all_gather retry must match the replicated-source run
@@ -120,6 +124,7 @@ def test_partition_source_balanced():
     assert sizes.max() <= sizes.min() + 40  # one bin of slack
 
 
+@pytest.mark.slow
 def test_source_sharded_pallas_small_mesh(rng):
     """Pass 2 of the source-sharded path runs the pallas kernel on the
     n_dev*B all_gathered rows; with few devices that total must be
@@ -143,7 +148,10 @@ def test_source_sharded_pallas_small_mesh(rng):
     np.testing.assert_allclose(vals[found], expected[found], rtol=1e-5)
 
 
-@pytest.mark.parametrize("fallback", ["snap", "best"])
+@pytest.mark.parametrize("fallback", [
+    "snap",
+    pytest.param("best", marks=pytest.mark.slow),  # ~70 s/case on 1 CPU
+])
 def test_source_sharded_fallback_modes(fallback, rng):
     """Cross-chip snap/best combine (PARITY known gap, round 2): exterior
     points must resolve to the best-scoring candidate across ALL source
@@ -175,6 +183,7 @@ def test_source_sharded_fallback_modes(fallback, rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_2d_both_schemes(rng):
     """Both sharded schemes are dimension-generic: 2D quad meshes run
     through the same programs and match the single-device result."""
