@@ -34,8 +34,6 @@ from .ops import (
     map_to_sphere,
     mesh_layer_masks,
     repair_fluid_solid,
-    unique_points,
-    unique_points_cached,
     unique_points_per_layer,
 )
 

@@ -203,7 +203,11 @@ def test_locate_ladder_matches_scan(fallback, rng):
     assert np.mean(same[both]) > 0.95
 
 
-@pytest.mark.parametrize("fallback", ["sentinel", "snap", "best"])
+@pytest.mark.parametrize("fallback", [
+    "sentinel",
+    pytest.param("snap", marks=pytest.mark.slow),  # ~19 s/case on 1 CPU
+    pytest.param("best", marks=pytest.mark.slow),
+])
 def test_locate_ladder_near1_matches_scan(fallback, rng):
     """The nearest-centroid-only candidate path (use_near1/bucket_knn:
     round 1 on the single nearest centroid, rescue rounds computing

@@ -222,6 +222,7 @@ def test_engine_env_flag_smoke(monkeypatch, rng):
     np.testing.assert_allclose(base[1], flagged[1], rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow  # ~30 s on the 1-CPU rig; hardware twin: tests/test_tpu.py::test_tpu_df32_apply_end_to_end
 def test_operator_df32_end_to_end(rng, tmp_path):
     """LocateConfig(df32_polish=True) threads pair refs through locate ->
     TransferOperator -> compensated apply -> save/load.  Accuracy here is
