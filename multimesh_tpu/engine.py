@@ -291,6 +291,42 @@ def gll_2_gll(
     return values
 
 
+def _stream_pull_write(dset, out_dev, block_bytes: int = 1 << 25):
+    """Pipelined device->host pull + HDF5 write for DIRECT-ordered
+    results (no dedup/reconstruction): a worker thread pulls row block
+    j+1 (jax releases the GIL during transfers) while the main thread
+    writes block j.  Row counts are fixed per block (one compile shape
+    plus the remainder) and the HDF5 handle is only ever touched by one
+    thread at a time."""
+    import concurrent.futures
+
+    from .progress import progress as _progress
+
+    n = out_dev.shape[0]
+    row_bytes = int(
+        np.prod(out_dev.shape[1:]) * out_dev.dtype.itemsize
+    )
+    blk = max(1, block_bytes // max(1, row_bytes))
+    starts = list(range(0, n, blk))
+    blocks: dict = {}
+
+    def pull(j):
+        s = starts[j]
+        blocks[j] = np.asarray(out_dev[s : s + blk])
+
+    pbar = _progress(n, "write-back", unit="rows", n_steps=len(starts))
+    with concurrent.futures.ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(pull, 0)
+        for j, s in enumerate(starts):
+            fut.result()
+            if j + 1 < len(starts):
+                fut = ex.submit(pull, j + 1)
+            b = blocks.pop(j)
+            dset[s : s + b.shape[0]] = b
+            pbar.step(b.shape[0])
+    pbar.close()
+
+
 def _stream_expand_write(
     new, chunks, CH, recon, parameters, gll_points, old_values, solid,
     gradient, to_model_path, to_coordinates_path,
@@ -669,7 +705,7 @@ def exodus_2_gll(
         with stage_timer("e2g.apply"):
             # relayout to the HDF5 target layout [npoints, F, n_gll] ON
             # DEVICE and downcast to f32 for the pull: the device->host
-            # tunnel on this rig runs ~17 MB/s, so pulling f64 [N, F] and
+            # tunnel on this rig runs ~20 MB/s, so pulling f64 [N, F] and
             # transposing on the ~0.1 Gflop/s host (the previous shape of
             # this code) cost ~80 s at 10M slots; f32 halves the bytes
             # and HDF5 converts f32->f64 in C during the write
@@ -677,14 +713,11 @@ def exodus_2_gll(
             out_dev = vals_dev.reshape(
                 npoints, n_gll, len(parameters)
             ).transpose(0, 2, 1).astype("float32")
-        with stage_timer("e2g.pull_result"):
-            vals = np.asarray(out_dev)  # [npoints, F, n_gll] contiguous
-
-        with stage_timer("e2g.write_h5"):
+        with stage_timer("e2g.stream_write"):
             sio.recreate_dataset(
                 gll, parameters, model_path, coordinates_path
             )
-            gll[model_path][:, :, :] = vals
+            _stream_pull_write(gll[model_path], out_dev)
 
 
 def gll_2_exodus(
